@@ -1,0 +1,366 @@
+"""Lightweight mutable DOM on ``html.parser`` — the engine's jsoup stand-in.
+
+The reference mutates a jsoup tree (remove/retag/attr-annotate,
+serialize-regex-reparse round trips: Readability.java:180-183, 566-568,
+228-234). This module re-specifies the subset of jsoup behavior the
+kernels need, documented as OUR semantics (SURVEY.md §7: golden fixtures
+are defined against these, with inputs simple enough that tag-soup
+recovery differences cannot arise):
+
+  * parse() builds ``#root > html > (head, body)`` implicit structure
+  * ``<p>`` is auto-closed by any open block tag; ``li/dd/dt`` self-close
+  * void elements per HTML5
+  * ``text()`` = document-order text-node data, with a single space
+    injected at block-element boundaries, then whitespace-collapsed and
+    trimmed (jsoup-like normalization)
+  * ``html()``/``set_html()`` round-trip is stable; NBSP re-escapes to
+    ``&nbsp;`` so the reference's ``REGEX_KILL_BREAKS`` applies intact
+  * ``abs_url()`` resolves against the document base URI and returns ""
+    when no absolute URL can be formed (jsoup ``absUrl`` contract)
+
+Scores are stored as ordinary attributes (the reference smuggles ints
+through ``readabilityContentScore``/``readabilityImgScore`` DOM attrs,
+Readability.java:17, ReadabilityForImg.java:26-27) so that attribute-set
+equality comparisons in the image layer (ReadabilityForImg.java:924-937)
+see them exactly like the reference does.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# start tags that implicitly close an open <p> (HTML5 tree construction)
+P_CLOSERS = frozenset(
+    "address article aside blockquote div dl fieldset figcaption figure footer "
+    "form h1 h2 h3 h4 h5 h6 header hr main nav ol p pre section table ul".split()
+)
+
+HEAD_ONLY = frozenset("title meta base link style".split())
+
+BLOCK_ELEMENTS = frozenset(
+    "address article aside blockquote body br caption dd div dl dt fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 head header hr html li "
+    "main nav noscript ol p pre section table tbody td tfoot th thead title "
+    "tr ul".split()
+)
+
+_WS_RUN = re.compile(r"\s+")
+
+
+class TextNode:
+    __slots__ = ("data", "parent")
+
+    def __init__(self, data: str, parent: "Element | None" = None):
+        self.data = data
+        self.parent = parent
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"TextNode({self.data!r})"
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag.lower()
+        self.attrs: dict[str, str] = dict(attrs) if attrs else {}
+        self.children: list[Element | TextNode] = []
+        self.parent: Element | None = None
+
+    # --- attribute API (attr names normalized to lowercase on parse) ------
+    def attr(self, key: str) -> str:
+        return self.attrs.get(key.lower(), "")
+
+    def set_attr(self, key: str, value: str) -> None:
+        self.attrs[key.lower()] = value
+
+    def has_attr(self, key: str) -> bool:
+        return key.lower() in self.attrs
+
+    def remove_attr(self, key: str) -> None:
+        self.attrs.pop(key.lower(), None)
+
+    def class_name(self) -> str:
+        return self.attr("class")
+
+    def id(self) -> str:
+        return self.attr("id")
+
+    # --- tree API ----------------------------------------------------------
+    def append_child(self, node: "Element | TextNode") -> None:
+        if node.parent is not None:
+            node.parent.children.remove(node)
+        node.parent = self
+        self.children.append(node)
+
+    def prepend_child(self, node: "Element | TextNode") -> None:
+        if node.parent is not None:
+            node.parent.children.remove(node)
+        node.parent = self
+        self.children.insert(0, node)
+
+    def remove(self) -> None:
+        """Detach from parent (jsoup Node.remove)."""
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def has_parent(self) -> bool:
+        return self.parent is not None
+
+    def child_elements(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def sibling_elements(self) -> list["Element"]:
+        """Parent's element children excluding self (jsoup siblingElements)."""
+        if self.parent is None:
+            return []
+        return [c for c in self.parent.child_elements() if c is not self]
+
+    def next_element_sibling(self) -> "Element | None":
+        if self.parent is None:
+            return None
+        seen = False
+        for c in self.parent.children:
+            if c is self:
+                seen = True
+            elif seen and isinstance(c, Element):
+                return c
+        return None
+
+    def iter_elements(self, include_self: bool = True):
+        """Preorder traversal of element descendants."""
+        if include_self:
+            yield self
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                yield node
+                stack.extend(reversed(node.children))
+
+    def get_elements_by_tag(self, tag: str, include_self: bool = True) -> list["Element"]:
+        tag = tag.lower()
+        return [e for e in self.iter_elements(include_self) if e.tag == tag]
+
+    def all_elements(self) -> list["Element"]:
+        return list(self.iter_elements(include_self=True))
+
+    # --- text extraction -----------------------------------------------------
+    def text(self) -> str:
+        """Whitespace-normalized visible text (jsoup-like)."""
+        parts: list[str] = []
+
+        def walk(el: Element) -> None:
+            for c in el.children:
+                if isinstance(c, TextNode):
+                    parts.append(c.data)
+                else:
+                    if c.tag in BLOCK_ELEMENTS:
+                        parts.append(" ")
+                    walk(c)
+                    if c.tag in BLOCK_ELEMENTS:
+                        parts.append(" ")
+
+        walk(self)
+        return _WS_RUN.sub(" ", "".join(parts)).strip()
+
+    # --- serialization -------------------------------------------------------
+    def html(self) -> str:
+        """Inner HTML."""
+        return "".join(_serialize(c) for c in self.children)
+
+    def outer_html(self) -> str:
+        return _serialize(self)
+
+    def set_html(self, html_str: str) -> None:
+        """Replace children by re-parsing a fragment (jsoup Element.html(str))."""
+        for c in self.children:
+            c.parent = None
+        self.children = []
+        for node in parse_fragment(html_str):
+            self.append_child(node)
+
+    # --- URL resolution --------------------------------------------------------
+    def root(self) -> "Element":
+        node = self
+        while node.parent is not None:
+            node = node.parent
+        return node
+
+    def base_uri(self) -> str:
+        root = self.root()
+        return getattr(root, "_base_uri", "") or ""
+
+    def abs_url(self, attr_key: str) -> str:
+        """jsoup ``absUrl``: absolute URL for the attribute or ''."""
+        val = self.attr(attr_key)
+        if not val:
+            return ""
+        base = self.base_uri()
+        resolved = urljoin(base, val) if base else val
+        return resolved if urlparse(resolved).scheme else ""
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"<{self.tag} {self.attrs}>"
+
+
+class Document(Element):
+    __slots__ = ("_base_uri",)
+
+    def __init__(self, base_uri: str = ""):
+        super().__init__("#root")
+        self._base_uri = base_uri
+
+    def html_el(self) -> Element:
+        return self.get_elements_by_tag("html", include_self=False)[0]
+
+    def head(self) -> Element:
+        return self.get_elements_by_tag("head", include_self=False)[0]
+
+    def body(self) -> Element | None:
+        tags = self.get_elements_by_tag("body", include_self=False)
+        return tags[0] if tags else None
+
+    def create_element(self, tag: str) -> Element:
+        return Element(tag)
+
+    def append_element(self, tag: str) -> Element:
+        el = Element(tag)
+        self.html_el().append_child(el)
+        return el
+
+
+def _escape_text(s: str) -> str:
+    return escape(s, quote=False).replace("\xa0", "&nbsp;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;").replace("\xa0", "&nbsp;")
+
+
+def _serialize(node: Element | TextNode) -> str:
+    if isinstance(node, TextNode):
+        return _escape_text(node.data)
+    attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in node.attrs.items())
+    if node.tag in VOID_ELEMENTS:
+        return f"<{node.tag}{attrs}>"
+    inner = "".join(_serialize(c) for c in node.children)
+    return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+
+class _TreeBuilder(HTMLParser):
+    """Parses into a synthetic root without implicit html/head/body."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#fragment")
+        self.stack: list[Element] = [self.root]
+
+    @property
+    def cur(self) -> Element:
+        return self.stack[-1]
+
+    def _close_tag(self, tag: str) -> bool:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return True
+        return False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in P_CLOSERS:
+            self._close_tag("p")
+        if tag == "li":
+            self._close_tag("li")
+        elif tag in ("dd", "dt"):
+            self._close_tag("dd") or self._close_tag("dt")
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in attr_dict:  # first occurrence wins (jsoup behavior)
+                attr_dict[k] = v if v is not None else ""
+        el = Element(tag, attr_dict)
+        self.cur.append_child(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            k = k.lower()
+            if k not in attr_dict:
+                attr_dict[k] = v if v is not None else ""
+        self.cur.append_child(Element(tag, attr_dict))
+
+    def handle_endtag(self, tag: str) -> None:
+        self._close_tag(tag.lower())
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.cur.append_child(TextNode(data))
+
+    def handle_comment(self, data: str) -> None:  # comments are dropped
+        pass
+
+    def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...> dropped
+        pass
+
+
+def parse_fragment(html_str: str) -> list[Element | TextNode]:
+    builder = _TreeBuilder()
+    builder.feed(html_str)
+    builder.close()
+    nodes = list(builder.root.children)
+    for n in nodes:
+        n.parent = None
+    return nodes
+
+
+def parse(html_str: str, base_uri: str = "") -> Document:
+    """Parse a full HTML document into ``#root > html > (head, body)``."""
+    doc = Document(base_uri)
+    html_el = Element("html")
+    head = Element("head")
+    body = Element("body")
+    doc.append_child(html_el)
+    html_el.append_child(head)
+    html_el.append_child(body)
+
+    def distribute(nodes: list[Element | TextNode], *, in_head: bool) -> None:
+        for node in nodes:
+            if isinstance(node, TextNode):
+                if node.data.strip():
+                    body.append_child(node)
+                continue
+            if node.tag == "html":
+                distribute(list(node.children), in_head=in_head)
+                # carry html-level attributes over
+                for k, v in node.attrs.items():
+                    html_el.attrs.setdefault(k, v)
+            elif node.tag == "head":
+                for k, v in node.attrs.items():
+                    head.attrs.setdefault(k, v)
+                distribute(list(node.children), in_head=True)
+            elif node.tag == "body":
+                for k, v in node.attrs.items():
+                    body.attrs.setdefault(k, v)
+                distribute(list(node.children), in_head=False)
+            elif node.tag in HEAD_ONLY:
+                head.append_child(node)
+            elif in_head and node.tag == "script":
+                head.append_child(node)
+            else:
+                body.append_child(node)
+
+    distribute(parse_fragment(html_str), in_head=False)
+    return doc

@@ -1,0 +1,942 @@
+"""Per-document extraction kernel: arc90 Readability scoring + image layer.
+
+A from-scratch re-specification (NOT a translation) of the reference's
+two variants, run tree-at-a-time inside Arrow-batched UDFs:
+
+  * text variant  -> ``Readability.java`` (content scoring C1-C12,
+    cleanup A1-A8)
+  * img variant   -> ``ReadabilityForImg.java`` (same core minus the
+    retry, plus image scoring I1-I11)
+
+All integer semantics reproduce Java exactly (see javacompat): truncating
+int division, ``(int)`` float casts (NaN -> 0), float32 scale factors,
+``String.split`` trailing-empty drops, NaN/Inf link densities.
+
+Intentional reference quirks kept (SURVEY.md §2):
+  * ``\\s{2,}`` -> "" (deletion, not single-space) normalization
+    (Readability.java:462-470)
+  * the ``li - 100`` offset in conditional cleaning (Readability.java:617)
+  * inverted img style scoring: centered -> -30, display:none -> +10
+    (ReadabilityForImg.java:645-655)
+  * the img variant never retries and discards the article DOM; only the
+    image map matters there (ReadabilityForImg.java:103) -- our engine
+    emits BOTH the article spans and the image spans, interleaved
+  * images whose src occurs more than once are dropped
+    (ReadabilityForImg.java:62-72)
+
+Deviations (documented; all are crash-avoidance for 100 TB robustness --
+the reference would throw NPE/NumberFormatException and kill the run):
+  * orphan <img> nodes (no parent chain) skip ancestor propagation
+  * unparsable width/height numbers score 0 instead of crashing
+  * image output order = first-occurrence document order (the reference
+    iterates a HashMap, which is incidental order)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import patterns as P
+from ..dom import BLOCK_ELEMENTS, Document, Element, TextNode, parse
+from ..javacompat import comma_segments, java_split, jdiv, jfloat_div, jint
+from .dates import DEFAULT_REF_DATE, date_from_url, string2date, time_difference_days
+
+CONTENT_SCORE = "readabilitycontentscore"
+IMG_SCORE = "readabilityimgscore"
+
+# float32-faithful comparison constants (Java float literals)
+F02 = float(np.float32(0.2))
+F025 = float(np.float32(0.25))
+F033 = float(np.float32(0.33))
+F05 = float(np.float32(0.5))
+
+_BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>\s*<p")
+_WS_RUN = re.compile(r"\s+")
+
+
+def _f32_mul(a: float, b: float) -> float:
+    """Java ``float * float`` (used for the 0.2f sibling threshold)."""
+    return float(np.float32(a) * np.float32(b))
+
+
+# --------------------------------------------------------------------------
+# score attribute accessors (scores live in DOM attrs, like the reference)
+# --------------------------------------------------------------------------
+
+def get_content_score(node: Element | None) -> int:
+    if node is None:
+        return 0
+    try:
+        return int(node.attr(CONTENT_SCORE))
+    except ValueError:
+        return 0
+
+
+def inc_content_score(node: Element, increment: int) -> None:
+    node.set_attr(CONTENT_SCORE, str(get_content_score(node) + increment))
+
+
+def scale_content_score(node: Element, scale: float) -> None:
+    """score = (int)(score * scale); NaN scale -> 0 (Java cast semantics)."""
+    node.set_attr(CONTENT_SCORE, str(jint(get_content_score(node) * scale)))
+
+
+def get_img_score(node: Element | None) -> int:
+    if node is None:
+        return 0
+    try:
+        return int(node.attr(IMG_SCORE))
+    except ValueError:
+        return 0
+
+
+def inc_img_score(node: Element, increment: int) -> None:
+    node.set_attr(IMG_SCORE, str(get_img_score(node) + increment))
+
+
+# --------------------------------------------------------------------------
+# text helpers (C3, C6, C7)
+# --------------------------------------------------------------------------
+
+def elements_by_tag(e: Element, tag: str) -> list[Element]:
+    """Descendant elements with tag, EXCLUDING e (Readability.java:818-822)."""
+    return e.get_elements_by_tag(tag, include_self=False)
+
+
+def get_inner_text(e: Element, normalize_spaces: bool) -> str:
+    """C3: ``e.text().trim()``; normalized variant DELETES ws runs >= 2
+    (the ``\\s{2,}`` -> "" quirk, Readability.java:462-470)."""
+    text = e.text()
+    if normalize_spaces:
+        text = P.REGEX_NORMALIZE.sub("", text)
+    return text
+
+
+def get_char_count(e: Element, s: str = ",") -> int:
+    return len(java_split(get_inner_text(e, True), s))
+
+
+def get_link_density(e: Element) -> float:
+    """C7: link text length / total text length; 0/0 -> NaN, x/0 -> Inf."""
+    links = elements_by_tag(e, "a")
+    text_length = len(get_inner_text(e, True))
+    link_length = 0.0
+    for link in links:
+        link_length += len(get_inner_text(link, True))
+    return jfloat_div(link_length, float(text_length))
+
+
+def get_class_weight(e: Element, variant: P.Variant) -> int:
+    """C6: class/id vs NEGATIVE/POSITIVE, +/-25 each (range -50..+50)."""
+    weight = 0
+    class_name = e.class_name()
+    if class_name:
+        if variant.negative.search(class_name):
+            weight -= 25
+        if variant.positive.search(class_name):
+            weight += 25
+    node_id = e.id()
+    if node_id:
+        if variant.negative.search(node_id):
+            weight -= 25
+        if variant.positive.search(node_id):
+            weight += 25
+    return weight
+
+
+def initialize_node(node: Element, variant: P.Variant) -> None:
+    """C5: tag prior + class weight (Readability.java:242-272)."""
+    node.set_attr(CONTENT_SCORE, "0")
+    tag = node.tag
+    if tag == "div":
+        inc_content_score(node, 5)
+    elif tag in ("pre", "td", "blockquote"):
+        inc_content_score(node, 3)
+    elif tag in ("address", "ol", "ul", "dl", "dd", "dt", "li", "form"):
+        inc_content_score(node, -3)
+    elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th") or (
+        variant.noscript_minus5 and tag == "noscript"
+    ):
+        inc_content_score(node, -5)
+    inc_content_score(node, get_class_weight(node, variant))
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+@dataclass
+class ExtractionResult:
+    spans: list[tuple]  # (kind, text, media_ref, offset)
+    images: list[str] = field(default_factory=list)
+    top_content_score: int = 0
+    status: str = "ok"
+
+
+class ReadabilityKernel:
+    """One document, one kernel instance (mirrors the reference object)."""
+
+    def __init__(
+        self,
+        html: str,
+        base_uri: str = "",
+        ref_date: dt.datetime = DEFAULT_REF_DATE,
+        variant: str = "img",
+    ) -> None:
+        self.doc: Document = parse(html, base_uri)
+        self.variant = P.IMG_VARIANT if variant == "img" else P.TEXT_VARIANT
+        self.ref_date = ref_date
+        # src -> occurrence count, insertion-ordered (first occurrence)
+        self.pictext: dict[str, int] = {}
+        self.body_cache: str | None = None
+        self.top_content_score = 0
+
+    # --- P1-P6 ------------------------------------------------------------
+    def prep_document(self) -> None:
+        doc = self.doc
+        if doc.body() is None:
+            doc.append_element("body")
+        for script in doc.get_elements_by_tag("script", include_self=False):
+            script.remove()
+        for link in elements_by_tag(doc.head(), "link"):
+            if link.attr("rel").lower() == "stylesheet":
+                link.remove()
+        for style in doc.get_elements_by_tag("style", include_self=False):
+            style.remove()
+        body = doc.body()
+        html = P.REGEX_REPLACE_BRS.sub("</p><p>", body.html())
+        html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)
+        body.set_html(html)
+
+    # --- C1-C11 (+ I* in the img variant) ----------------------------------
+    def grab_article(self, preserve_unlikely_candidates: bool) -> Element:
+        doc = self.doc
+        variant = self.variant
+
+        # C1 unlikely-candidate pruning + C2 div->p, over a snapshot
+        for node in doc.all_elements():
+            if not preserve_unlikely_candidates:
+                unlikely_match_string = node.class_name() + node.id()
+                if (
+                    variant.unlikely.search(unlikely_match_string)
+                    and not P.OK_MAYBE_ITS_A_CANDIDATE.search(unlikely_match_string)
+                    and node.tag != "body"
+                ):
+                    node.remove()
+                    continue
+            if node.tag == "div" and not P.DIV_TO_P_ELEMENTS.search(node.html()):
+                node.tag = "p"
+
+        # C4/C5/C6 paragraph scoring
+        all_paragraphs = doc.get_elements_by_tag("p", include_self=False)
+        candidates: list[Element] = []
+        for node in all_paragraphs:
+            parent_node = node.parent
+            if parent_node is None:
+                continue  # robustness guard; cannot occur in our tree shape
+            grand_parent_node = parent_node.parent
+            inner_text = get_inner_text(node, True)
+            if len(inner_text) < 25:
+                continue
+            if not parent_node.has_attr(CONTENT_SCORE):
+                initialize_node(parent_node, variant)
+                candidates.append(parent_node)
+            if grand_parent_node is not None and not grand_parent_node.has_attr(
+                CONTENT_SCORE
+            ):
+                initialize_node(grand_parent_node, variant)
+                candidates.append(grand_parent_node)
+
+            content_score = 1
+            content_score += comma_segments(inner_text)
+            content_score += min(len(inner_text) // 100, 3)
+            inc_content_score(parent_node, content_score)
+            if grand_parent_node is not None:
+                inc_content_score(grand_parent_node, jdiv(content_score, 2))
+
+        # C8 link-density scaling + C9 argmax (first strict max wins)
+        top_candidate: Element | None = None
+        for candidate in candidates:
+            scale_content_score(candidate, 1.0 - get_link_density(candidate))
+            if top_candidate is None or get_content_score(candidate) > get_content_score(
+                top_candidate
+            ):
+                top_candidate = candidate
+
+        # I1-I10: the image layer runs HERE, before the body fallback,
+        # with a possibly-None top candidate (ReadabilityForImg.java:811)
+        if variant.name == "img":
+            self.grab_img(doc, top_candidate)
+
+        # C10 body fallback
+        if top_candidate is None or top_candidate.tag == "body":
+            body = doc.body()
+            top_candidate = doc.create_element("div")
+            top_candidate.set_html(body.html())
+            body.set_html("")
+            body.append_child(top_candidate)
+            initialize_node(top_candidate, variant)
+
+        self.top_content_score = get_content_score(top_candidate)
+
+        # C11 sibling gathering
+        article_content = doc.create_element("div")
+        article_content.set_attr("id", "readability-content")
+        sibling_score_threshold = max(
+            10, jint(_f32_mul(get_content_score(top_candidate), 0.2))
+        )
+        sibling_nodes = (
+            top_candidate.parent.child_elements() if top_candidate.parent else [top_candidate]
+        )
+        for sibling_node in sibling_nodes:
+            append = False
+            if sibling_node is top_candidate:
+                append = True
+            if get_content_score(sibling_node) >= sibling_score_threshold:
+                append = True
+            if sibling_node.tag == "p":
+                link_density = get_link_density(sibling_node)
+                node_content = get_inner_text(sibling_node, True)
+                node_length = len(node_content)
+                if node_length > 80 and link_density < F025:
+                    append = True
+                elif (
+                    node_length < 80
+                    and link_density == 0.0
+                    and P.SENTENCE_FULLMATCH.fullmatch(node_content)
+                ):
+                    append = True
+            if append:
+                article_content.append_child(sibling_node)
+
+        # A1-A7
+        self.prep_article(article_content)
+        return article_content
+
+    # --- A1-A7 --------------------------------------------------------------
+    def prep_article(self, article_content: Element) -> None:
+        self._clean_styles(article_content)
+        article_content.set_html(
+            P.REGEX_KILL_BREAKS.sub("<br />", article_content.html())
+        )
+        self._clean(article_content, "form")
+        self._clean(article_content, "object")
+        self._clean(article_content, "h1")
+        if len(elements_by_tag(article_content, "h2")) == 1:
+            self._clean(article_content, "h2")
+        self._clean(article_content, "iframe")
+        self._clean_headers(article_content)
+        self._clean_conditionally(article_content, "table")
+        self._clean_conditionally(article_content, "ul")
+        self._clean_conditionally(article_content, "div")
+        for paragraph in elements_by_tag(article_content, "p"):
+            img_count = len(elements_by_tag(paragraph, "img"))
+            embed_count = len(elements_by_tag(paragraph, "embed"))
+            object_count = len(elements_by_tag(paragraph, "object"))
+            if (
+                img_count == 0
+                and embed_count == 0
+                and object_count == 0
+                and not get_inner_text(paragraph, False)
+            ):
+                paragraph.remove()
+        article_content.set_html(
+            _BR_BEFORE_P.sub("<p", article_content.html())
+        )
+
+    def _clean_styles(self, e: Element | None) -> None:
+        if e is None:
+            return
+        e.remove_attr("style")
+        for child in e.child_elements():
+            child.remove_attr("style")
+            self._clean_styles(child)
+
+    def _clean(self, e: Element, tag: str) -> None:
+        """A3: drop all <tag>; video embeds survive (Readability.java:575-589)."""
+        is_embed = tag in ("object", "embed", "iframe")
+        for target in elements_by_tag(e, tag):
+            if is_embed and P.VIDEO.search(target.outer_html()):
+                continue
+            target.remove()
+
+    def _clean_headers(self, e: Element) -> None:
+        for header_index in range(1, 7):
+            for header in elements_by_tag(e, f"h{header_index}"):
+                if (
+                    get_class_weight(header, self.variant) < 0
+                    or get_link_density(header) > F033
+                ):
+                    header.remove()
+
+    def _clean_conditionally(self, e: Element, tag: str) -> None:
+        """A5 with the ``li - 100`` reference quirk (Readability.java:597-656)."""
+        for node in elements_by_tag(e, tag):
+            weight = get_class_weight(node, self.variant)
+            if weight < 0:
+                node.remove()
+            elif get_char_count(node, ",") < 10:
+                p = len(elements_by_tag(node, "p"))
+                img = len(elements_by_tag(node, "img"))
+                li = len(elements_by_tag(node, "li")) - 100
+                input_count = len(elements_by_tag(node, "input"))
+                embed_count = 0
+                for embed in elements_by_tag(node, "embed"):
+                    if not P.VIDEO.search(embed.abs_url("src")):
+                        embed_count += 1
+                link_density = get_link_density(node)
+                content_length = len(get_inner_text(node, True))
+                to_remove = False
+                if img > p:
+                    to_remove = True
+                elif li > p and tag not in ("ul", "ol"):
+                    to_remove = True
+                elif input_count > p // 3:
+                    to_remove = True
+                elif content_length < 25 and (img == 0 or img > 2):
+                    to_remove = True
+                elif weight < 25 and link_density > F02:
+                    to_remove = True
+                elif weight > 25 and link_density > F05:
+                    to_remove = True
+                elif (embed_count == 1 and content_length < 75) or embed_count > 1:
+                    to_remove = True
+                if to_remove:
+                    node.remove()
+
+    # --- I1-I11: the image layer ---------------------------------------------
+    @staticmethod
+    def _check_strong(node: Element) -> Element:
+        """I2a: <strong> is skipped in favor of its parent
+        (ReadabilityForImg.java:685-692)."""
+        if node.tag == "strong" and node.parent is not None:
+            return node.parent
+        return node
+
+    @staticmethod
+    def _img_src(node: Element) -> str | None:
+        """src resolution order: abs data-src, else abs src
+        (ReadabilityForImg.java:529-534)."""
+        if node.has_attr("data-src") and node.attr("data-src"):
+            return node.abs_url("data-src")
+        if node.attr("src"):
+            return node.abs_url("src")
+        return None
+
+    def _estimate_width_and_height(self, node: Element) -> int:
+        """I5 width/height bucket scoring (ReadabilityForImg.java:275-365)."""
+        score = 0
+        width = node.attr("width").replace("auto", "")
+        height = node.attr("height").replace("auto", "")
+        if not width and not height:
+            style_str = node.attr("style")
+            m = P.STYLE_WIDTH.search(style_str)
+            if m:
+                if "%" in m.group():
+                    return -100
+                d = P.DIGITS.search(m.group())
+                if d:
+                    width = d.group()
+            m = P.STYLE_HEIGHT.search(style_str)
+            if m:
+                if "%" in m.group():
+                    return -100
+                d = P.DIGITS.search(m.group())
+                if d:
+                    height = d.group()
+
+        def _px(v: str) -> int | None:
+            try:
+                return int(P.PX_UNIT.sub("", v))
+            except ValueError:
+                return None  # deviation: reference would crash here
+
+        if width and height and "%" not in width and "%" not in height:
+            w, h = _px(width), _px(height)
+            if w is None or h is None:
+                return 0
+            if w <= 100 and h <= 100:
+                score -= 500
+            elif w < 150 and h < 150:
+                score -= 50 + (300 - w - h)
+            elif w < 200 and h < 200:
+                score -= 25
+            elif w < 100 or h < 100:
+                score -= 30
+            elif w < 150 or h < 150:
+                score -= 10
+            elif (w > 300 or h > 300) and (w + h) > 550:
+                score += jint(0.5 * (w + h - 550))
+        elif width and "%" not in width:
+            w = _px(width)
+            if w is None:
+                return 0
+            if w < 100:
+                score -= 25
+            elif w < 150:
+                score -= 15
+            elif w > 400:
+                score += 15
+        elif height and "%" not in height:
+            h = _px(height)
+            if h is None:
+                return 0
+            if h < 100:
+                score -= 25
+            elif h < 150:
+                score -= 15
+            elif h > 400:
+                score += 15
+        elif (width and "%" in width) or (height and "%" in height):
+            score -= 100
+        if score > 40:
+            score = 40
+        return score
+
+    def _initialize_img_score(self, node: Element) -> None:
+        """I3 ancestor scoring (ReadabilityForImg.java:399-510)."""
+        node.set_attr(IMG_SCORE, "0")
+        tag = node.tag
+        if tag in ("p", "article"):
+            inc_img_score(node, 7)
+        elif tag in ("div", "span", "figure"):
+            inc_img_score(node, 5)
+        elif tag in (
+            "address", "ol", "ul", "dl", "dd", "dt", "li", "form", "td",
+            "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "th",
+            "noscript",
+        ):
+            inc_img_score(node, -10)
+        elif tag == "a":
+            if node.has_attr("href") and node.abs_url("href"):
+                img_name = node.attr("href")
+                if img_name:
+                    imgs = node.get_elements_by_tag("img")
+                    if len(imgs) == 1:
+                        img_node = imgs[0]
+                        src = img_node.attr("src")
+                        if src and src == img_name:
+                            inc_img_score(node, 30)
+                        elif src and (img_name in src or src in img_name):
+                            inc_img_score(node, 15)
+                        elif img_name.endswith((".jpg", ".jpeg", ".gif", ".png")):
+                            inc_img_score(node, 10)
+                        elif any(
+                            x in img_name
+                            for x in (".jpg?", ".jpeg?", ".gif?", ".png?")
+                        ):
+                            inc_img_score(node, 5)
+                        elif any(
+                            x in img_name
+                            for x in (".jpg%", ".jpeg%", ".gif%", ".png%")
+                        ):
+                            inc_img_score(node, 5)
+                        else:
+                            inc_img_score(node, -150)
+                    else:
+                        inc_img_score(node, -20)
+        elif tag == "body":
+            return  # body skips all attribute scoring (ReadabilityForImg.java:457-458)
+
+        attr_score = 0
+        attr_score += self._estimate_width_and_height(node)
+        style_attr = node.attr("style")
+        if style_attr:
+            if P.IMGPARENT_CANDIDATES.search(style_attr):
+                attr_score += 10
+            if P.IMG_UNLIKELY_CANDIDATES.search(style_attr):
+                attr_score -= 200
+        align_attr = node.attr("align")
+        if align_attr:
+            if P.IMGPARENT_CANDIDATES.search(align_attr):
+                attr_score += 10
+            else:
+                attr_score -= 10
+        # class + " " + id: never empty thanks to the separator (reference
+        # quirk, ReadabilityForImg.java:491-493) -- always evaluated
+        class_name = node.class_name() + " " + node.id()
+        if P.NEGATIVE_IMG.search(class_name):
+            attr_score -= 15
+        if P.POSITIVE_IMG.search(class_name):
+            attr_score += 15
+        if P.REMOVE_IMG.search(class_name):
+            attr_score -= 40
+        inc_img_score(node, attr_score + get_content_score(node))
+
+    def _init_img_tag_score(self, node: Element) -> None:
+        """I4 img tag scoring with date distance (ReadabilityForImg.java:517-658)."""
+        img_score = 0
+        src_img = self._img_src(node)
+        img_time = date_from_url(src_img, self.ref_date)
+        if src_img:
+            if P.NEGATIVE_IMG.search(src_img):
+                img_score -= 25
+            if P.POSITIVE_IMG.search(src_img):
+                img_score += 25
+            if P.REMOVE_IMG.search(src_img):
+                img_score -= 60
+            if img_time:
+                img_date = string2date(img_time)
+                pub_time = date_from_url(node.base_uri(), self.ref_date)
+                if pub_time:
+                    pub_date = string2date(pub_time)
+                    if img_date is not None and pub_date is not None:
+                        d = time_difference_days(img_date, pub_date)
+                        if 15 < d < 30:
+                            img_score -= d
+                        elif d > 30:
+                            img_score -= 40
+                        elif 0 <= d < 1:
+                            img_score += 30
+                        elif 0 <= d < 3:
+                            img_score += 20
+                        elif 0 <= d < 7:
+                            img_score += 10
+                else:
+                    # reference uses new Date() here; we use ref_date
+                    if img_date is not None:
+                        d = time_difference_days(img_date, self.ref_date)
+                        if 15 < d < 30:
+                            img_score -= jdiv(d, 3)
+                        elif d > 30:
+                            img_score -= 20
+                        elif 0 <= d < 1:
+                            img_score += 30
+                        elif 0 <= d < 3:
+                            img_score += 20
+                        elif 0 <= d < 7:
+                            img_score += 10
+        else:
+            img_score -= 500
+
+        alt_attr = node.attr("alt") + node.attr("title")
+        if alt_attr and len(alt_attr) < 30:
+            if P.NEGATIVE_IMG.search(alt_attr):
+                img_score -= 10
+            if P.POSITIVE_IMG.search(alt_attr):
+                img_score += 10
+            if P.REMOVE_IMG.search(alt_attr):
+                img_score -= 40
+
+        img_score += self._estimate_width_and_height(node)
+
+        align_attr = node.attr("align")
+        if align_attr:
+            if P.IMGPARENT_CANDIDATES.search(align_attr):
+                img_score += 10
+            else:
+                img_score -= 10
+
+        if node.has_attr("href") and node.attr("href"):
+            img_score -= 200
+
+        # the reference's inverted style scoring, kept as-is
+        # (ReadabilityForImg.java:645-655): centered -> -30, display:none -> +10
+        style_attr = node.attr("style")
+        if style_attr and len(style_attr) < 30:
+            if P.IMGPARENT_CANDIDATES.search(style_attr):
+                img_score -= 30
+            if P.IMG_UNLIKELY_CANDIDATES.search(style_attr):
+                img_score += 10
+        inc_img_score(node, img_score)
+
+    def _count_pic(self, src: str | None) -> None:
+        if src is None:
+            return
+        self.pictext[src] = self.pictext.get(src, 0) + 1
+
+    def grab_img(self, document: Document, text: Element | None) -> None:
+        """I1-I10 (ReadabilityForImg.java:881-1111)."""
+        img_tags = document.get_elements_by_tag("img", include_self=False)
+        if not img_tags:
+            return
+        text_score = 0
+        if text is not None:
+            text_score = get_content_score(text)
+            # I7 text-node promotion
+            if (
+                text_score > 50
+                and text.has_parent()
+                and get_content_score(text.parent) > 0.7 * text_score
+            ):
+                text = text.parent
+            text_score = get_content_score(text)
+
+        candidates: list[Element] = []
+        for node in img_tags:
+            src = node.attr("src")
+            data_src = node.attr("data-src")
+            if not (
+                (src and not src.startswith("data:image"))
+                or (data_src and not data_src.startswith("data:image"))
+            ):
+                continue
+            candidates.append(node)
+
+            # I2 ancestor normalization
+            parent_node = (
+                self._check_strong(node.parent) if node.has_parent() else None
+            )
+            if parent_node is None:
+                # deviation: the reference NPEs on orphan imgs
+                if not node.has_attr(IMG_SCORE):
+                    node.set_attr(IMG_SCORE, "0")
+                    self._init_img_tag_score(node)
+                continue
+            grand_parent_node = (
+                self._check_strong(parent_node.parent)
+                if parent_node.has_parent()
+                else None
+            )
+            if (
+                grand_parent_node is not None
+                and parent_node.tag == grand_parent_node.tag
+                and len(parent_node.attrs) != 0
+                and parent_node.attrs == grand_parent_node.attrs
+            ):
+                grand_parent_node = grand_parent_node.parent
+            great_grand_parent_node = (
+                grand_parent_node.parent
+                if grand_parent_node is not None and grand_parent_node.has_parent()
+                else None
+            )
+            if (
+                great_grand_parent_node is not None
+                and grand_parent_node is not None
+                and great_grand_parent_node.tag == grand_parent_node.tag
+                and len(great_grand_parent_node.attrs) != 0
+                and great_grand_parent_node.attrs == grand_parent_node.attrs
+            ):
+                great_grand_parent_node = great_grand_parent_node.parent
+
+            # I3 ancestor scoring (once per node, scores persist in attrs)
+            if not parent_node.has_attr(IMG_SCORE):
+                self._initialize_img_score(parent_node)
+            if grand_parent_node is not None and not grand_parent_node.has_attr(
+                IMG_SCORE
+            ):
+                self._initialize_img_score(grand_parent_node)
+            if (
+                great_grand_parent_node is not None
+                and not great_grand_parent_node.has_attr(IMG_SCORE)
+            ):
+                self._initialize_img_score(great_grand_parent_node)
+
+            # I4 tag scoring
+            if not node.has_attr(IMG_SCORE):
+                node.set_attr(IMG_SCORE, "0")
+                self._init_img_tag_score(node)
+
+            # I6 score propagation: parent + grandparent + ggp/2
+            inc_img_score(node, get_img_score(parent_node))
+            if grand_parent_node is not None:
+                inc_img_score(node, get_img_score(grand_parent_node))
+            if great_grand_parent_node is not None:
+                inc_img_score(node, jdiv(get_img_score(great_grand_parent_node), 2))
+
+            # deep-nesting bonus (ReadabilityForImg.java:973-982)
+            if (
+                grand_parent_node is not None
+                and great_grand_parent_node is not None
+                and get_img_score(node) >= 30
+                and get_content_score(great_grand_parent_node)
+                + get_content_score(grand_parent_node)
+                == 0
+                and len(grand_parent_node.sibling_elements())
+                + len(great_grand_parent_node.sibling_elements())
+                < 1
+            ):
+                ggp_parent = great_grand_parent_node.parent
+                if get_content_score(ggp_parent) > 0:
+                    inc_img_score(node, jdiv(get_img_score(ggp_parent), 2))
+                elif ggp_parent is not None and get_content_score(ggp_parent.parent) > 0:
+                    inc_img_score(node, jdiv(get_img_score(ggp_parent.parent), 2))
+
+        if not candidates:
+            return
+
+        # I8 argmax + early exit
+        top_candidate: Element | None = None
+        for candidate in candidates:
+            if top_candidate is None or get_img_score(candidate) > get_img_score(
+                top_candidate
+            ):
+                top_candidate = candidate
+        top_score = get_img_score(top_candidate)
+        if top_score < 30:
+            return
+
+        # I9 same-depth bonus
+        if text is not None and any(
+            img is top_candidate for img in text.get_elements_by_tag("img")
+        ):
+            parent_node = top_candidate.parent
+            grand_parent_node = parent_node.parent if parent_node else None
+            if (
+                parent_node is not None
+                and grand_parent_node is not None
+                and parent_node.tag == grand_parent_node.tag
+                and parent_node.attrs == grand_parent_node.attrs
+            ):
+                grand_parent_node = grand_parent_node.parent
+            great_grand_parent_node = (
+                grand_parent_node.parent if grand_parent_node else None
+            )
+            if (
+                great_grand_parent_node is not None
+                and grand_parent_node is not None
+                and great_grand_parent_node.tag == grand_parent_node.tag
+                and great_grand_parent_node.attrs == grand_parent_node.attrs
+            ):
+                great_grand_parent_node = great_grand_parent_node.parent
+            if great_grand_parent_node is not None:
+                add_score_times = 0
+                for node in great_grand_parent_node.get_elements_by_tag("img"):
+                    p3 = node.parent
+                    p3 = p3.parent if p3 else None
+                    p3 = p3.parent if p3 else None
+                    if p3 is great_grand_parent_node:
+                        inc_img_score(node, 5)
+                        add_score_times += 1
+                        p2 = node.parent.parent if node.parent else None
+                        if p2 is grand_parent_node:
+                            inc_img_score(node, 10)
+                if add_score_times == 1:
+                    inc_img_score(top_candidate, -15)
+
+        # I10 final selection
+        top_score = get_img_score(top_candidate)
+        top_src = self._img_src(top_candidate) or ""
+        if top_score > 50:
+            for candidate in candidates:
+                src_img = self._img_src(candidate) or ""
+                cand_score = get_img_score(candidate)
+                if (cand_score > 80 or top_score - cand_score < 20) and len(
+                    top_src
+                ) == len(src_img):
+                    inc_img_score(candidate, jint(0.5 * (top_score - cand_score)))
+                if (
+                    candidate is not top_candidate
+                    and get_img_score(candidate) > 100
+                    and candidate.class_name()
+                    and top_candidate.class_name()
+                    and candidate.class_name() == top_candidate.class_name()
+                ):
+                    inc_img_score(
+                        candidate,
+                        min(len(java_split(candidate.class_name(), " ")) * 6, 20),
+                    )
+                cand_score = get_img_score(candidate)
+                if top_score < 100:
+                    if cand_score > 0.75 * top_score and top_score - cand_score < 20:
+                        self._count_pic(src_img)
+                elif (
+                    cand_score > top_score - max(jdiv(text_score, 3), 0.3 * top_score)
+                    or cand_score > 200
+                ):
+                    self._count_pic(src_img)
+
+    # --- output ------------------------------------------------------------
+    def accepted_images(self) -> list[str]:
+        """I11: srcs with occurrence count == 1, first-occurrence order."""
+        return [src for src, n in self.pictext.items() if n == 1 and src]
+
+
+def _emit_spans(
+    article: Element, images: list[str]
+) -> list[tuple[str, str | None, str | None, int]]:
+    """Serialize the article + accepted images to the output span sequence.
+
+    One 'text' span per lowest-level block run (paragraph-sized units, the
+    reference's scoring granularity, Readability.java:328-371); 'image'
+    spans are emitted inline where the accepted <img> sits, preserving
+    interleaving. Accepted images never reached in the article (grabImg
+    scans the whole document, ReadabilityForImg.java:882) are appended
+    afterward in first-occurrence order.
+    """
+    image_set = set(images)
+    emitted: set[str] = set()
+    out: list[tuple[str, str | None, str | None]] = []
+    parts: list[str] = []
+
+    def flush() -> None:
+        if parts:
+            txt = _WS_RUN.sub(" ", "".join(parts)).strip()
+            parts.clear()
+            if txt:
+                out.append(("text", txt, None))
+
+    def walk(e: Element) -> None:
+        for c in e.children:
+            if isinstance(c, TextNode):
+                parts.append(c.data)
+                continue
+            if c.tag == "img":
+                src = ReadabilityKernel._img_src(c)
+                if src in image_set and src not in emitted:
+                    flush()
+                    out.append(("image", None, src))
+                    emitted.add(src)
+                continue
+            if c.tag in BLOCK_ELEMENTS:
+                flush()
+                walk(c)
+                flush()
+            else:
+                walk(c)
+
+    walk(article)
+    flush()
+
+    for src in images:
+        if src not in emitted:
+            out.append(("image", None, src))
+            emitted.add(src)
+
+    return [(kind, text, ref, i) for i, (kind, text, ref) in enumerate(out)]
+
+
+def extract_document(
+    html: str,
+    base_uri: str = "",
+    ref_date: dt.datetime = DEFAULT_REF_DATE,
+    variant: str = "img",
+) -> ExtractionResult:
+    """Run the full per-document pipeline; never raises (status records errors)."""
+    try:
+        kernel = ReadabilityKernel(html, base_uri, ref_date, variant)
+        if variant == "text":
+            # C12 retry loop (Readability.java:62-101); iterative, not recursive
+            body = kernel.doc.body()
+            kernel.body_cache = body.html() if body is not None else ""
+            kernel.prep_document()
+            article = kernel.grab_article(preserve_unlikely_candidates=False)
+            if not get_inner_text(article, False):
+                kernel.doc.body().set_html(kernel.body_cache)
+                kernel.prep_document()
+                article = kernel.grab_article(preserve_unlikely_candidates=True)
+                if not get_inner_text(article, False):
+                    article.set_html(
+                        "<p>Sorry, readability was unable to parse this page"
+                        " for content.</p>"
+                    )
+        else:
+            # the img variant never retries (ReadabilityForImg.java:103)
+            kernel.prep_document()
+            article = kernel.grab_article(preserve_unlikely_candidates=False)
+        images = kernel.accepted_images() if variant == "img" else []
+        spans = _emit_spans(article, images)
+        return ExtractionResult(
+            spans=spans,
+            images=images,
+            top_content_score=kernel.top_content_score,
+            status="ok",
+        )
+    except RecursionError:
+        return ExtractionResult(spans=[], status="oversize")
+    except Exception as exc:  # per-doc isolation: one bad doc never kills a batch
+        return ExtractionResult(spans=[], status=f"error:{type(exc).__name__}")
