@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001; ``queries()``
+exposes every implemented operator (SURVEY.md §2 + the training-data
+tier); ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+operator is SQL-expressible (scalar functions, dedup, similarity, and
+notably the FLAGSHIP DOM-kernel query, whose output is analytically
+predictable for the constructed pages). DOM/LSH/stateful operators
+without an oracle entry get the driver's rows-only check.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the oracle SQL (driver hashes values after sorting
+columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +18,330 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from readabilityimproved_spark.functions import sqlgen
+from readabilityimproved_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from readabilityimproved_spark.operators.extract import extract_spans
+from readabilityimproved_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+)
+
+SPARK, DUCKDB = sqlgen.SPARK, sqlgen.DUCKDB
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: end-to-end DOM extraction with an analytically-known oracle
+# ---------------------------------------------------------------------------
+# Each document becomes a well-formed page: POSITIVE-class content div
+# holding one paragraph (the doc text + a comma'd tail) and one dated
+# inline image, plus UNLIKELY-class boilerplate. The kernel provably
+# (tests/test_entry_contract.py) reduces this to exactly two spans:
+# the paragraph text and the image ref -- which the oracle states directly.
+
+_TAIL = ", extra tail alpha beta gamma delta."
+_IMG_PREFIX = "http://img.example.com/2019-06/18/photo"
+_BASE_PREFIX = "http://news.example.com/2019-06/18/story"
+_PAGE_OPEN = '<html><body><div class="article content">'
+_PAGE_CLOSE = (
+    '</div><div class="sidebar"><ul><li><a href="/a">most read</a></li>'
+    "</ul></div></body></html>"
+)
+
+
+def q_extract_article_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ptext = F.concat(F.col("text"), F.lit(_TAIL))
+    src = F.concat(F.lit(_IMG_PREFIX), F.col("doc_id").cast("string"), F.lit(".jpg"))
+    base = F.concat(F.lit(_BASE_PREFIX), F.col("doc_id").cast("string"), F.lit(".html"))
+
+    def span(kind, text, media_ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    nulls = F.lit(None).cast("string")
+    spans = F.array(
+        span("html", F.lit(_PAGE_OPEN), nulls, 0),
+        span("html", F.concat(F.lit("<p>"), ptext, F.lit("</p>")), nulls, 1),
+        span("image", nulls, src, 2),
+        span("html", F.lit(_PAGE_CLOSE), nulls, 3),
+    )
+    shaped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        base.alias("base_uri"),
+        spans.alias("spans"),
+    )
+    extracted = extract_spans(shaped)
+    s = F.explode("spans").alias("s")
+    return extracted.select(F.col("doc_id"), s).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+    )
+
+
+def _oracle_extract_article_spans() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || '{_TAIL}' AS ptext,
+         '{_IMG_PREFIX}' || cast(doc_id as varchar) || '.jpg' AS src
+  FROM documents
+)
+SELECT doc_id, 'text' AS kind, ptext AS text,
+       cast(NULL as varchar) AS media_ref, 0 AS span_offset FROM base
+UNION ALL
+SELECT doc_id, 'image' AS kind, cast(NULL as varchar) AS text,
+       src AS media_ref, 1 AS span_offset FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar operator battery (same logic template rendered per dialect)
+# ---------------------------------------------------------------------------
+
+def _cast_str(x: str, dialect: str) -> str:
+    t = "string" if dialect == SPARK else "varchar"
+    return f"cast({x} as {t})"
+
+
+def _url_case(dialect: str) -> str:
+    """Deterministic URL mix covering every date_from_url branch."""
+    y = _cast_str("1985 + doc_id % 40", dialect)
+    m = _cast_str("doc_id % 14", dialect)
+    d = _cast_str("1 + doc_id % 31", dialect)
+    m2 = f"lpad({_cast_str('doc_id % 14', dialect)}, 2, '0')"
+    d2 = f"lpad({_cast_str('1 + doc_id % 31', dialect)}, 2, '0')"
+    yy = f"lpad({_cast_str('(1985 + doc_id % 40) % 100', dialect)}, 2, '0')"
+    return f"""CASE cast(doc_id % 6 as int)
+ WHEN 0 THEN 'http://h/' || {y} || '-' || {m} || '/' || {d} || '/a.html'
+ WHEN 1 THEN 'http://h/' || {y} || {m2} || {d2} || '/x.html'
+ WHEN 2 THEN 'http://h/' || {y} || {m2} || '-' || {d} || '/x.jpg'
+ WHEN 3 THEN 'http://h/' || {m} || '/' || {d} || '/' || {y} || '/x'
+ WHEN 4 THEN 'http://h/' || {yy} || '.' || {m} || '.' || {d} || '/x.jpg'
+ ELSE 'http://h/evergreen/x.jpg' END"""
+
+
+def _date_from_url_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, url, {sqlgen.date_from_url_sql('url', dialect)} AS url_date
+FROM (SELECT doc_id, {_url_case(dialect)} AS url FROM documents)
+"""
+
+
+def _cls_case(dialect: str) -> str:
+    return """CASE cast(doc_id % 5 as int)
+ WHEN 0 THEN 'article content' WHEN 1 THEN 'sidebar widget'
+ WHEN 2 THEN 'page' WHEN 3 THEN 'promo banner' ELSE 'x' END"""
+
+
+def _id_case(dialect: str) -> str:
+    return """CASE cast(doc_id % 3 as int)
+ WHEN 0 THEN 'main' WHEN 1 THEN 'comment' ELSE '' END"""
+
+
+def _class_weight_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, cls, idv,
+       {sqlgen.class_weight_sql('cls', 'idv', dialect)} AS class_weight
+FROM (SELECT doc_id, {_cls_case(dialect)} AS cls, {_id_case(dialect)} AS idv
+      FROM documents)
+"""
+
+
+def _normalize_ws_query(dialect: str) -> str:
+    padded = "('x  y ' || text || '   z. end')"
+    return f"""
+SELECT doc_id, {sqlgen.normalize_ws_sql(padded, dialect)} AS normalized
+FROM documents
+"""
+
+
+def _comma_segments_query(dialect: str) -> str:
+    s = "(substr(text, 1, 40) || ',' || lang || ',，x,,')"
+    return f"""
+SELECT doc_id, cast({sqlgen.comma_segments_sql(s, dialect)} as int) AS segments
+FROM documents
+"""
+
+
+def _token_count_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, cast({sqlgen.token_count_sql('text', dialect)} as int) AS n_tokens
+FROM documents
+"""
+
+
+def _quality_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, {sqlgen.quality_score_sql('text', dialect)} AS quality
+FROM documents
+"""
+
+
+def _lang_id_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, lang, {sqlgen.lang_id_sql('text', dialect)} AS lang_pred
+FROM documents
+"""
+
+
+def _fingerprint_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, {sqlgen.fingerprint_sql('text', dialect)} AS fingerprint
+FROM documents
+"""
+
+
+def _dedup_exact_oracle() -> str:
+    fp = sqlgen.fingerprint_sql("text", DUCKDB)
+    return f"""
+SELECT {fp} AS fingerprint, min(doc_id) AS representative,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+_JACCARD_N = 3
+_JACCARD_THRESHOLD = 0.1
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, len(w) - 1)]) AS shingle
+  FROM toks
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) >= {_JACCARD_THRESHOLD}
+"""
+
+
+_TOPK_K = 5
+_TOPK_QUERIES = 10
+
+
+def _cosine_topk_oracle() -> str:
+    return f"""
+WITH scaled AS (
+  SELECT vec_id,
+         [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
+          for x in embedding] AS vec
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.vec, c.vec)
+               / (sqrt(q.norm2) * sqrt(c.norm2)), 6) AS cosine
+  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_TOPK_QUERIES}
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) as int)
+             AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_article_spans(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def sql_query(render):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _docs(spark, sf_dir).createOrReplaceTempView("documents")
+            return spark.sql(render(SPARK))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {
+        # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
+        "extract_article_spans": q_extract_article_spans,
+        # --- scalar function library (SURVEY.md §2.6, §2.3 quirks) -------
+        "date_from_url": sql_query(_date_from_url_query),
+        "normalize_ws": sql_query(_normalize_ws_query),
+        "comma_segments": sql_query(_comma_segments_query),
+        "class_weight": sql_query(_class_weight_query),
+        "token_count": sql_query(_token_count_query),
+        "quality_score": sql_query(_quality_query),
+        "lang_id": sql_query(_lang_id_query),
+        "doc_fingerprint": sql_query(_fingerprint_query),
+        # --- dedup tier ---------------------------------------------------
+        "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
+        "ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
+            _docs(spark, sf), n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
+        ),
+        "minhash_lsh": lambda spark, sf: minhash_lsh_pairs(_docs(spark, sf)),
+        "simhash": lambda spark, sf: simhash64(_docs(spark, sf)),
+        # --- similarity tier -----------------------------------------------
+        "similarity_topk": lambda spark, sf: cosine_topk(
+            _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
+        ),
+        "similarity_ann_lsh": lambda spark, sf: ann_bucketed_topk(
+            _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_article_spans": _oracle_extract_article_spans(),
+        "date_from_url": _date_from_url_query(DUCKDB),
+        "normalize_ws": _normalize_ws_query(DUCKDB),
+        "comma_segments": _comma_segments_query(DUCKDB),
+        "class_weight": _class_weight_query(DUCKDB),
+        "token_count": _token_count_query(DUCKDB),
+        "quality_score": _quality_query(DUCKDB),
+        "lang_id": _lang_id_query(DUCKDB),
+        "doc_fingerprint": _fingerprint_query(DUCKDB),
+        "dedup_exact": _dedup_exact_oracle(),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
+        "similarity_topk": _cosine_topk_oracle(),
+        # minhash_lsh / simhash / similarity_ann_lsh: xxhash64-based,
+        # not reproducible in DuckDB -> rows-only checks
+    }

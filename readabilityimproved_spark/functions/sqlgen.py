@@ -1,0 +1,263 @@
+r"""Cross-dialect SQL generators for the scalar operator library.
+
+Each generator renders ONE logic template into either Spark SQL or DuckDB
+SQL; the driver's correctness gate runs the Spark rendering via
+``queries()`` and the DuckDB rendering via ``oracle_sql()`` side by side,
+so both dialects must express identical semantics (SURVEY.md §5.3).
+
+Dialect deltas handled here:
+  * integer division:   Spark ``a div b``      DuckDB ``a // b``
+  * regex split:        Spark ``split``        DuckDB ``string_split_regex``
+  * array length:       Spark ``size``         DuckDB ``len``
+  * regex boolean:      Spark ``rlike``        DuckDB ``regexp_matches``
+  * global replace:     Spark default-all      DuckDB needs the 'g' flag
+  * date + n days:      Spark ``date_add``     DuckDB ``date + n``
+  * regex literals:     Spark string literals process backslash escapes
+    (``'\\s'`` -> ``\s``); DuckDB literals are raw (``'\s'`` stays) --
+    every regex goes through :func:`_re_lit`
+  * both return '' from regexp_extract on no-match; both have try_cast.
+
+RE2 (DuckDB) has no lookbehind, so the reference's ``(?<!\d)`` guards
+(TimeUtil.java:127-219) are rendered as a consumed ``(^|[^0-9])`` prefix
+group in BOTH dialects -- equivalent for leftmost-first extraction.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+#: deterministic stand-in for the reference's wall clock (matches
+#: kernel.dates.DEFAULT_REF_DATE)
+REF_DATE_SQL = "2019-06-18"
+
+
+def _re_lit(pattern: str, dialect: str) -> str:
+    """Render a (Python raw) regex as a SQL string literal for the dialect."""
+    if dialect == SPARK:
+        pattern = pattern.replace("\\", "\\\\")
+    return "'" + pattern.replace("'", "''") + "'"
+
+
+def _idiv(a: str, b: str, dialect: str) -> str:
+    return f"({a} div {b})" if dialect == SPARK else f"({a} // {b})"
+
+
+def _split(s: str, pattern: str, dialect: str) -> str:
+    fn = "split" if dialect == SPARK else "string_split_regex"
+    return f"{fn}({s}, {_re_lit(pattern, dialect)})"
+
+
+def _size(arr: str, dialect: str) -> str:
+    return f"size({arr})" if dialect == SPARK else f"len({arr})"
+
+
+def _rlike(s: str, pattern: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"({s} rlike {_re_lit(pattern, dialect)})"
+    return f"regexp_matches({s}, {_re_lit(pattern, dialect)})"
+
+
+def _replace_all(s: str, pattern: str, repl: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"regexp_replace({s}, {_re_lit(pattern, dialect)}, '{repl}')"
+    return f"regexp_replace({s}, {_re_lit(pattern, dialect)}, '{repl}', 'g')"
+
+
+def _extract(s: str, pattern: str, group: int, dialect: str) -> str:
+    return f"regexp_extract({s}, {_re_lit(pattern, dialect)}, {group})"
+
+
+def _extract_all(s: str, pattern: str, dialect: str) -> str:
+    return f"regexp_extract_all({s}, {_re_lit(pattern, dialect)})"
+
+
+def _date_plus(d: str, n: str, dialect: str) -> str:
+    return f"date_add({d}, {n})" if dialect == SPARK else f"({d} + ({n}))"
+
+
+def _cast_str(x: str, dialect: str) -> str:
+    t = "string" if dialect == SPARK else "varchar"
+    return f"cast({x} as {t})"
+
+
+# ---------------------------------------------------------------------------
+# T1: date_from_url (TimeUtil.java:124-261) as a single COALESCE of levels
+# ---------------------------------------------------------------------------
+
+_P1 = r"(^|[^0-9])([12][09][0-9]{2})[-_./]([01]?[0-9])[-_./]([0123]?[0-9])[^0-9]"
+_P2 = r"(^|[^0-9])([12][09][0-9]{2}[01]?[0-9][0123]?[0-9])"
+_P3 = r"(^|[^0-9])([12][09][0-9]{2}[01]?[0-9])[-_./]([0123]?[0-9])[^0-9]"
+_P4 = r"(^|[^0-9])([0123]?[0-9])/([01]?[0-9])/([12][09][0-9]{2})[^0-9]"
+_L2 = r"(^|[^0-9])([0-9][0-9])[-_./]([01]?[0-9])[-_./]([0123]?[0-9])[^0-9]"
+
+
+def _fmt(y: str, m: str, d: str, dialect: str) -> str:
+    return (
+        f"({y} || '-' || lpad({_cast_str(m, dialect)}, 2, '0')"
+        f" || '-' || lpad({_cast_str(d, dialect)}, 2, '0'))"
+    )
+
+
+def date_from_url_sql(url: str, dialect: str, ref_date: str = REF_DATE_SQL) -> str:
+    """Render getDateFromUrl's level cascade; each level yields NULL when
+    its first regex hit fails validation (the Java fall-through)."""
+
+    def ti(s: str) -> str:
+        return f"try_cast({s} as int)"
+
+    # L1 pattern 1: yyyy[-_./]m?m[-_./]d?d + trailing non-digit
+    y1s = _extract(url, _P1, 2, dialect)
+    m1 = ti(_extract(url, _P1, 3, dialect))
+    d1 = ti(_extract(url, _P1, 4, dialect))
+    p1 = (
+        f"CASE WHEN {m1} BETWEEN 1 AND 12 AND {d1} BETWEEN 1 AND 31"
+        f" AND try_cast({y1s} as int) > 1990"
+        f" THEN {_fmt(y1s, m1, d1, dialect)} END"
+    )
+
+    # L1 pattern 2: 8-digit yyyymmdd with lenient not-in-future check
+    g2 = _extract(url, _P2, 2, dialect)
+    y2 = f"try_cast(substr({g2}, 1, 4) as int)"
+    m2 = f"try_cast(substr({g2}, 5, 2) as int)"
+    d2 = f"try_cast(substr({g2}, 7, 2) as int)"
+    lenient = _date_plus(f"make_date({y2}, {m2}, 1)", f"{d2} - 1", dialect)
+    p2 = (
+        f"CASE WHEN length({g2}) = 8 AND {m2} BETWEEN 1 AND 12"
+        f" AND {d2} BETWEEN 1 AND 31 AND {y2} > 1990 THEN"
+        f" (CASE WHEN {lenient} <= DATE '{ref_date}'"
+        f" THEN {_fmt(f'substr({g2}, 1, 4)', m2, d2, dialect)} END) END"
+    )
+
+    # L1 pattern 3: yyyymm[-_./]d?d ; y = yyyymm/100, m = yyyymm%100
+    g3 = ti(_extract(url, _P3, 2, dialect))
+    dd3 = ti(_extract(url, _P3, 3, dialect))
+    y3, m3 = _idiv(g3, "100", dialect), f"({g3} % 100)"
+    p3 = (
+        f"CASE WHEN {m3} BETWEEN 1 AND 12 AND {dd3} BETWEEN 1 AND 31"
+        f" AND {y3} > 1990"
+        f" THEN {_fmt(_cast_str(y3, dialect), m3, dd3, dialect)} END"
+    )
+
+    # L1 pattern 4: m?m/d?d/yyyy
+    m4 = ti(_extract(url, _P4, 2, dialect))
+    d4 = ti(_extract(url, _P4, 3, dialect))
+    y4s = _extract(url, _P4, 4, dialect)
+    p4 = (
+        f"CASE WHEN {m4} BETWEEN 1 AND 12 AND {d4} BETWEEN 1 AND 31"
+        f" AND try_cast({y4s} as int) > 1990"
+        f" THEN {_fmt(y4s, m4, d4, dialect)} END"
+    )
+
+    # L2: yy[-_./]m?m[-_./]d?d -> 20yy (no year gate, TimeUtil.java:215-237)
+    yl = _extract(url, _L2, 2, dialect)
+    ml = ti(_extract(url, _L2, 3, dialect))
+    dl = ti(_extract(url, _L2, 4, dialect))
+    y20 = "('20' || " + yl + ")"
+    l2 = (
+        f"CASE WHEN {ml} BETWEEN 1 AND 12 AND {dl} BETWEEN 1 AND 31"
+        f" AND {yl} <> ''"
+        f" THEN {_fmt(y20, ml, dl, dialect)} END"
+    )
+
+    return f"COALESCE({p1}, {p2}, {p3}, {p4}, {l2})"
+
+
+# ---------------------------------------------------------------------------
+# C3 / C4 / C6 scalar operators
+# ---------------------------------------------------------------------------
+
+def normalize_ws_sql(s: str, dialect: str) -> str:
+    r"""The \s{2,} -> '' deletion quirk (Readability.java:462-470)."""
+    return _replace_all(s, r"\s{2,}", "", dialect)
+
+
+def comma_segments_sql(s: str, dialect: str) -> str:
+    """Java ``split(",|，").length``: trailing empties dropped; empty
+    input counts 1; all-separator input counts 0 (Readability.java:361)."""
+    stripped = _replace_all(s, r"[,，]+$", "", dialect)
+    return (
+        f"CASE WHEN {s} = '' THEN 1"
+        f" WHEN {stripped} = '' THEN 0"
+        f" ELSE {_size(_split(stripped, ',|，', dialect), dialect)} END"
+    )
+
+
+NEGATIVE_RE = (
+    r"(?i)combx|comment|contact|foot|footer|footnote|link|media|meta|promo"
+    r"|related|scroll|shoutbox|sponsor|tags|widget|share|scan"
+)
+POSITIVE_RE = r"(?i)article|body|content|entry|hentry|page|pagination|post|text|main"
+
+
+def class_weight_sql(cls: str, node_id: str, dialect: str) -> str:
+    """C6 class/id weight, img-variant alternations
+    (ReadabilityForImg.java:1185-1215)."""
+
+    def leg(col: str) -> str:
+        return (
+            f"(CASE WHEN {col} <> '' AND {_rlike(col, NEGATIVE_RE, dialect)}"
+            f" THEN -25 ELSE 0 END"
+            f" + CASE WHEN {col} <> '' AND {_rlike(col, POSITIVE_RE, dialect)}"
+            f" THEN 25 ELSE 0 END)"
+        )
+
+    return f"({leg(cls)} + {leg(node_id)})"
+
+
+def token_count_sql(s: str, dialect: str) -> str:
+    tokens = _split(f"trim({s})", r"\s+", dialect)
+    return (
+        f"CASE WHEN trim({s}) = '' THEN 0"
+        f" ELSE {_size(tokens, dialect)} END"
+    )
+
+
+def fingerprint_sql(s: str, dialect: str) -> str:
+    """Document fingerprint: md5 of the lower-cased, ws-collapsed text."""
+    collapsed = _replace_all(f"lower(trim({s}))", r"\s+", " ", dialect)
+    return f"md5({collapsed})"
+
+
+STOPWORD_RE = r"\b(the|a|and|of|to|in|is|on|for|with)\b"
+
+
+def quality_score_sql(s: str, dialect: str) -> str:
+    """Quality heuristic: length + stopword presence - non-alpha density.
+
+    score = min(n_chars, 500)/500 * 0.5
+          + min(stopword_hits, 10)/10 * 0.3
+          + (1 - non_alnum_ratio) * 0.2        (rounded to 4 dp)
+    """
+    n = f"length({s})"
+    stops = _size(_extract_all(f"lower({s})", STOPWORD_RE, dialect), dialect)
+    non_alnum = f"length({_replace_all(s, '[a-zA-Z0-9 ]', '', dialect)})"
+    return (
+        f"round(least(cast({n} as double), 500.0)/500.0 * 0.5"
+        f" + least(cast({stops} as double), 10.0)/10.0 * 0.3"
+        f" + (1.0 - cast({non_alnum} as double)/greatest(cast({n} as double), 1.0))"
+        f" * 0.2, 4)"
+    )
+
+
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|is|was|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|est|une|dans)\b",
+    "es": r"\b(el|los|las|es|una|para)\b",
+}
+
+
+def lang_id_sql(s: str, dialect: str) -> str:
+    """Marker-word language ID; argmax with fixed precedence, 'und' if all 0."""
+    counts = {
+        lang: _size(_extract_all(f"lower({s})", p, dialect), dialect)
+        for lang, p in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        others = [counts[o] for o in langs if o != lang]
+        cond = " AND ".join(f"{counts[lang]} >= {c}" for c in others)
+        cases.append(f"WHEN {counts[lang]} > 0 AND {cond} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"

@@ -1,0 +1,177 @@
+"""The end-to-end extraction job: scan -> resume filter -> salted
+repartition -> Arrow kernel -> extracted + lineage + metrics tables.
+
+Scale design (BASELINE.json north_rule — explicit partitioning, skew
+handling, checkpoint/resume):
+
+* the corpus carries a stored ``part`` column (``hash(doc_id) % P``,
+  written as a parquet partition column) so both the resume filter and
+  the wave filter become **partition-pruned scans** — at 10^12 docs a
+  resume touches only unfinished partitions' files;
+* work proceeds in **waves** of partitions; each wave appends to the
+  ``extracted`` output (partitioned by ``part``) and appends one lineage
+  row per partition only after that wave's write committed — a killed
+  job resumes from the last complete wave, never re-emitting finished
+  partitions;
+* **skew**: extraction cost is proportional to document size; ~1% giant
+  documents (100x spans) would straggle a hash partition. Giants are
+  split out by a cheap ``size(spans)`` predicate and round-robin
+  repartitioned independently of the hash-partitioned normals (salting
+  by cost class), then the two extracted streams union — no shuffle of
+  the union itself, and the slowest task is bounded by one giant doc,
+  not a hash bucket of them;
+* everything relational (resume anti-filter, metrics rollup) is plain
+  DataFrame code — Catalyst/AQE handle pushdown and small-side
+  broadcast; the only Python is the Arrow kernel.
+
+The reference analogue of lineage/metrics is its per-page timing print
+and debug DOM dump (Extractor.java:103-108; ReadabilityForImg.java:786-791).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernel.dates import DEFAULT_REF_DATE
+from ..operators.extract import extract_spans
+
+#: documents whose span count exceeds this go down the giant-doc path
+GIANT_SPAN_THRESHOLD = 200
+
+
+def with_part(df: DataFrame, num_parts: int) -> DataFrame:
+    """Ensure a stored partition id; matches sources.synth.stored_part when
+    the corpus was synthesized (crc32), else derives one with xxhash64."""
+    if "part" in df.columns:
+        return df
+    return df.withColumn(
+        "part", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_parts)).cast("int")
+    )
+
+
+def salted_extract(
+    df: DataFrame,
+    parallelism: int,
+    ref_date: dt.datetime = DEFAULT_REF_DATE,
+    giant_threshold: int = GIANT_SPAN_THRESHOLD,
+) -> DataFrame:
+    """Skew-aware extraction: normals hash-partitioned, giants round-robin."""
+    sized = df.withColumn("_n", F.size("spans"))
+    normal = (
+        sized.filter(F.col("_n") <= giant_threshold)
+        .drop("_n")
+        .repartition(parallelism, F.xxhash64("doc_id"))
+    )
+    giant = (
+        sized.filter(F.col("_n") > giant_threshold)
+        .drop("_n")
+        .repartition(max(parallelism // 2, 1))  # round-robin: spreads giants evenly
+    )
+    return extract_spans(normal, ref_date=ref_date).unionByName(
+        extract_spans(giant, ref_date=ref_date)
+    )
+
+
+def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
+    # cheap existence check first: avoids a logged AnalysisException stack
+    # on every fresh run (local paths; remote stores fall through to try)
+    local = lineage_path.removeprefix("file:")
+    if "://" not in lineage_path and not os.path.exists(local):
+        return set()
+    try:
+        rows = (
+            spark.read.parquet(lineage_path)
+            .filter(F.col("status") == "ok")
+            .select("part")
+            .distinct()
+            .collect()
+        )
+        return {r["part"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    *,
+    num_parts: int = 64,
+    waves: int = 4,
+    parallelism: int | None = None,
+    ref_date: dt.datetime = DEFAULT_REF_DATE,
+    resume: bool = True,
+    fail_after_wave: int | None = None,  # test hook for kill-and-resume
+) -> dict:
+    """Run (or resume) the full extraction job. Returns run stats."""
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    extracted_path = os.path.join(output_dir, "extracted")
+    lineage_path = os.path.join(output_dir, "lineage")
+    metrics_path = os.path.join(output_dir, "metrics")
+
+    docs = with_part(spark.read.parquet(input_path), num_parts)
+
+    done = completed_parts(spark, lineage_path) if resume else set()
+    all_parts = [p for p in range(num_parts) if p not in done]
+    wave_size = max(1, -(-len(all_parts) // waves)) if all_parts else 1
+    stats = {"docs": 0, "waves_run": 0, "parts_skipped": len(done)}
+
+    attempt = int(time.time())
+    for w in range(0, len(all_parts), wave_size):
+        wave_parts = all_parts[w : w + wave_size]
+        # partition-pruned scan: `part` is a parquet partition column when
+        # the corpus was written by sources.synth
+        wave_df = docs.filter(F.col("part").isin(wave_parts))
+        t0 = time.time()
+        extracted = salted_extract(wave_df, parallelism, ref_date=ref_date)
+        extracted.write.mode("append").partitionBy("part").parquet(extracted_path)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        # lineage: one row per partition in this wave, written only after
+        # the extracted write committed (checkpoint granularity = wave)
+        lineage = (
+            spark.read.parquet(extracted_path)
+            .filter(F.col("part").isin(wave_parts))
+            .groupBy("part")
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("n_spans").alias("span_count"),
+                F.sum("n_images").alias("image_count"),
+                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
+                    "error_count"
+                ),
+            )
+            .withColumn("status", F.lit("ok"))
+            .withColumn("attempt", F.lit(attempt))
+            .withColumn("wall_ms", F.lit(wall_ms))
+        )
+        lineage.write.mode("append").parquet(lineage_path)
+        stats["waves_run"] += 1
+        stats["docs"] += lineage.agg(F.sum("doc_count")).collect()[0][0] or 0
+
+        if fail_after_wave is not None and stats["waves_run"] >= fail_after_wave:
+            return {**stats, "failed_injected": True}
+
+    # metrics rollup (declarative; AQE coalesces)
+    try:
+        metrics = (
+            spark.read.parquet(lineage_path)
+            .groupBy("attempt")
+            .agg(
+                F.sum("doc_count").alias("docs"),
+                F.sum("span_count").alias("spans"),
+                F.sum("image_count").alias("images"),
+                F.sum("error_count").alias("errors"),
+                F.sum("wall_ms").alias("wall_ms_sum"),
+                F.countDistinct("part").alias("parts"),
+            )
+        )
+        metrics.write.mode("overwrite").parquet(metrics_path)
+    except Exception:
+        pass
+    return stats
