@@ -208,9 +208,17 @@ class ReadabilityKernel:
         for style in doc.get_elements_by_tag("style", include_self=False):
             style.remove()
         body = doc.body()
-        html = P.REGEX_REPLACE_BRS.sub("</p><p>", body.html())
+        # serialize -> regex -> reparse, but skip the reparse when the
+        # rewrite is a no-op: reparse(serialize(t)) == t for every tree
+        # this kernel produces (parser-built + retag/remove/move/attr
+        # mutations; retagged div->p nodes hold only inline content by
+        # the DIV_TO_P gate), so skipping is semantics-preserving and
+        # saves the dominant parse cost on <br>/<font>-free documents.
+        before = body.html()
+        html = P.REGEX_REPLACE_BRS.sub("</p><p>", before)
         html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)
-        body.set_html(html)
+        if html != before:
+            body.set_html(html)
 
     # --- C1-C11 (+ I* in the img variant) ----------------------------------
     def grab_article(self, preserve_unlikely_candidates: bool) -> Element:
@@ -320,9 +328,10 @@ class ReadabilityKernel:
     # --- A1-A7 --------------------------------------------------------------
     def prep_article(self, article_content: Element) -> None:
         self._clean_styles(article_content)
-        article_content.set_html(
-            P.REGEX_KILL_BREAKS.sub("<br />", article_content.html())
-        )
+        before = article_content.html()
+        killed = P.REGEX_KILL_BREAKS.sub("<br />", before)
+        if killed != before:  # skip no-op reparse (see prep_document)
+            article_content.set_html(killed)
         self._clean(article_content, "form")
         self._clean(article_content, "object")
         self._clean(article_content, "h1")
@@ -344,9 +353,10 @@ class ReadabilityKernel:
                 and not get_inner_text(paragraph, False)
             ):
                 paragraph.remove()
-        article_content.set_html(
-            _BR_BEFORE_P.sub("<p", article_content.html())
-        )
+        before = article_content.html()
+        debreaked = _BR_BEFORE_P.sub("<p", before)
+        if debreaked != before:  # skip no-op reparse (see prep_document)
+            article_content.set_html(debreaked)
 
     def _clean_styles(self, e: Element | None) -> None:
         if e is None:
