@@ -64,6 +64,19 @@ _PAGE_CLOSE = (
 
 
 def q_extract_article_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = extract_spans(_shaped_docs(spark, sf_dir))
+    s = F.explode("spans").alias("s")
+    return extracted.select(F.col("doc_id"), s).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+    )
+
+
+def _shaped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text wrapped into the constructed flagship pages."""
     docs = _docs(spark, sf_dir)
     ptext = F.concat(F.col("text"), F.lit(_TAIL))
     src = F.concat(F.lit(_IMG_PREFIX), F.col("doc_id").cast("string"), F.lit(".jpg"))
@@ -84,20 +97,135 @@ def q_extract_article_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         span("image", nulls, src, 2),
         span("html", F.lit(_PAGE_CLOSE), nulls, 3),
     )
-    shaped = docs.select(
+    return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         base.alias("base_uri"),
         spans.alias("spans"),
     )
-    extracted = extract_spans(shaped)
+
+
+def q_extract_text_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Readability.java text-only variant (C12 retry path included):
+    same constructed pages, but no image spans are emitted."""
+    extracted = extract_spans(_shaped_docs(spark, sf_dir), variant="text")
     s = F.explode("spans").alias("s")
     return extracted.select(F.col("doc_id"), s).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("span_offset"),
     )
+
+
+def _oracle_extract_text_variant() -> str:
+    return f"""
+SELECT doc_id, 'text' AS kind, text || '{_TAIL}' AS text, 0 AS span_offset
+FROM documents
+"""
+
+
+def q_top_content_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5/C6/C8 scoring arithmetic surfaced as a column: for the
+    constructed pages the top candidate's score is analytically
+    30 (div prior + POSITIVE class) + 1 + 2 comma segments +
+    min(len/100, 3), link density 0."""
+    extracted = extract_spans(_shaped_docs(spark, sf_dir))
+    return extracted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("top_score").cast("int").alias("top_score"),
+    )
+
+
+def _oracle_top_content_score() -> str:
+    tail_len = len(_TAIL)
+    return f"""
+SELECT doc_id,
+       cast(33 + least((n_chars + {tail_len}) // 100, 3) as int) AS top_score
+FROM documents
+"""
+
+
+_TITLE_PREFIX = "Story "
+
+
+def q_title_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T0 title extraction (Extractor.java:28-76) over constructed pages
+    covering: h1 == title, h1 contains title, no h1, unrelated h1."""
+    docs = _docs(spark, sf_dir)
+    title = F.concat(F.lit(_TITLE_PREFIX), F.col("doc_id").cast("string"))
+    h1 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("<h1>"), title, F.lit("</h1>")))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("<h1>Breaking: "), title, F.lit(" today</h1>")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("<h1>Unrelated Headline</h1>"))
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body>"),
+        h1, F.lit("<p>body text</p></body></html>"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            page.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    shaped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    from readabilityimproved_spark.operators.textops import extract_titles
+
+    return extract_titles(shaped).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("title")
+    )
+
+
+def _oracle_title_extract() -> str:
+    t = f"'{_TITLE_PREFIX}' || cast(doc_id as varchar)"
+    return f"""
+SELECT doc_id,
+       CASE cast(doc_id % 4 as int)
+         WHEN 0 THEN {t}
+         WHEN 1 THEN 'Breaking: ' || {t} || ' today'
+         WHEN 2 THEN {t}
+         ELSE NULL
+       END AS title
+FROM documents
+"""
+
+
+def _oracle_ann_lsh() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, cast({bucket} as int) AS bucket,
+         [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
+          for x in embedding] AS vec
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, bucket, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.vec, c.vec)
+               / (sqrt(q.norm2) * sqrt(c.norm2)), 6) AS cosine
+  FROM normed q JOIN normed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_TOPK_QUERIES}
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) as int)
+             AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
 
 
 def _oracle_extract_article_spans() -> str:
@@ -302,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
+        "extract_text_variant": q_extract_text_variant,
+        "top_content_score": q_top_content_score,
+        "title_extract": q_title_extract,
         # --- scalar function library (SURVEY.md §2.6, §2.3 quirks) -------
         "date_from_url": sql_query(_date_from_url_query),
         "normalize_ws": sql_query(_normalize_ws_query),
@@ -331,6 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_article_spans": _oracle_extract_article_spans(),
+        "extract_text_variant": _oracle_extract_text_variant(),
+        "top_content_score": _oracle_top_content_score(),
+        "title_extract": _oracle_title_extract(),
+        "similarity_ann_lsh": _oracle_ann_lsh(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),

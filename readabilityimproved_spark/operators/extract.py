@@ -31,7 +31,7 @@ from ..kernel.readability import extract_document
 EXTRACTED_SCHEMA = (
     "doc_id string, part int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "n_spans int, n_images int, status string"
+    "n_spans int, n_images int, top_score int, status string"
 )
 
 
@@ -81,12 +81,19 @@ def _extract_batches(
                     ],
                     "n_spans": len(result.spans),
                     "n_images": len(result.images),
+                    # the reference's scored-DOM intermediate distilled to
+                    # its decisive number (top candidate content score,
+                    # cf. test/newsHTML.txt golden dump)
+                    "top_score": result.top_content_score,
                     "status": result.status,
                 }
             )
         yield pd.DataFrame(
             out_rows,
-            columns=["doc_id", "part", "spans", "n_spans", "n_images", "status"],
+            columns=[
+                "doc_id", "part", "spans", "n_spans", "n_images",
+                "top_score", "status",
+            ],
         )
 
 
