@@ -68,13 +68,16 @@ def _extract_batches(
                 [dict(s) for s in spans_in] if spans_in is not None else []
             )
             base_uri = getattr(row, "base_uri") if has_base else ""
+            if not isinstance(base_uri, str):  # None/NaN from null columns
+                base_uri = ""
             result = extract_document(
-                html, base_uri=base_uri or "", ref_date=ref_date, variant=variant
+                html, base_uri=base_uri, ref_date=ref_date, variant=variant
             )
+            part_val = getattr(row, "part") if has_part else None
             out_rows.append(
                 {
                     "doc_id": getattr(row, "doc_id"),
-                    "part": int(getattr(row, "part")) if has_part else -1,
+                    "part": int(part_val) if not pd.isna(part_val) else -1,
                     "spans": [
                         {"kind": k, "text": t, "media_ref": m, "offset": o}
                         for (k, t, m, o) in result.spans

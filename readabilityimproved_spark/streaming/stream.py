@@ -1,0 +1,173 @@
+"""Structured Streaming surfaces.
+
+The reference is strictly batch (one URL list, one run: Extractor.java:
+77-130); these are the engine's additions for continuous corpora:
+
+  * streaming_extraction -- readStream over the same span-shaped parquet
+    layout -> the SAME fused Arrow kernel (mapInPandas composes with
+    streaming) -> writeStream with checkpointing. Exactly-once per
+    epoch via the file-source + checkpoint contract; resume semantics
+    come from the sink checkpoint instead of the batch lineage table.
+  * windowed_event_metrics -- event-time tumbling windows with a
+    watermark for late data.
+  * sessionize_events -- custom stateful operator via
+    applyInPandasWithState (session gap timeout), the pattern for any
+    reference-less stateful extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.extract import extract_spans
+
+SPANS_DDL = (
+    "doc_id string, base_uri string, part int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def streaming_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """File-source streaming extraction; returns the started query."""
+    stream = (
+        spark.readStream.schema(SPANS_DDL)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_path)
+    )
+    extracted = extract_spans(stream)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_metrics(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with late-data watermark; works on both
+    batch and streaming DataFrames (same plan, Catalyst handles both)."""
+    # watermarks require TIMESTAMP (not NTZ); normalize the event-time col
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Gap-timeout sessionization kernel (runs per user_id group)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "status": ["closed"],
+            }
+        )
+        return
+
+    ts_min = ts_max = None
+    n_new = 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n_new += len(pdf)
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        ts_min = lo if ts_min is None else min(ts_min, lo)
+        ts_max = hi if ts_max is None else max(ts_max, hi)
+    if n_new == 0:
+        return
+    lo_ms, hi_ms = int(ts_min.value // 10**6), int(ts_max.value // 10**6)
+    if state.exists:
+        start_ms, end_ms, n = state.get
+        state.update((min(start_ms, lo_ms), max(end_ms, hi_ms), n + n_new))
+    else:
+        state.update((lo_ms, hi_ms, n_new))
+    state.setTimeoutDuration(30 * 60 * 1000)  # 30 min session gap
+    import pandas as pd
+
+    start_ms, end_ms, n = state.get
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(end_ms, unit="ms")],
+            "n_events": [n],
+            "status": ["open"],
+        }
+    )
+
+
+def sessionize_events(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user session tracking with
+    a 30-minute gap timeout (applyInPandasWithState)."""
+    return (
+        events_stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
