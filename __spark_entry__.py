@@ -198,6 +198,64 @@ FROM documents
 """
 
 
+_DATE_CASES = [
+    "2019-06-18",          # L1 numeric
+    "2019年6月18日",        # ChL1
+    "January 15, 2019",    # EnL1
+    "2019-03-04 10:30:25", # L1 datetime (time preserved in output)
+    "19.06.18",            # tier-2 L2
+    "",                    # no date -> NULL
+]
+_DATE_EXPECT = [
+    "2019-06-18", "2019-06-18", "2019-01-15",
+    "2019-03-04 10:30:25", "2019-06-18", None,
+]
+
+
+def q_pub_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 weighted HTML date extraction (TimeUtil.getDateFromHtml) over
+    constructed pages covering numeric/Chinese/English/datetime/yy/none."""
+    docs = _docs(spark, sf_dir)
+    datestr = F.element_at(
+        F.array(*[F.lit(c) for c in _DATE_CASES]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    page = F.concat(
+        F.lit("<html><head><title>T</title></head><body><h1>Headline</h1><p>"),
+        datestr,
+        F.lit("</p><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            page.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    shaped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+    from readabilityimproved_spark.operators.textops import extract_pub_dates
+
+    return extract_pub_dates(shaped).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.col("pub_date")
+    )
+
+
+def _oracle_pub_date_extract() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN " + (f"'{e}'" if e is not None else "cast(NULL as varchar)")
+        for i, e in enumerate(_DATE_EXPECT)
+    )
+    return f"""
+SELECT doc_id, CASE cast(doc_id % 6 as int) {whens} END AS pub_date
+FROM documents
+"""
+
+
 def _oracle_ann_lsh() -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
@@ -433,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_variant": q_extract_text_variant,
         "top_content_score": q_top_content_score,
         "title_extract": q_title_extract,
+        "pub_date_extract": q_pub_date_extract,
         # --- scalar function library (SURVEY.md §2.6, §2.3 quirks) -------
         "date_from_url": sql_query(_date_from_url_query),
         "normalize_ws": sql_query(_normalize_ws_query),
@@ -465,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_variant": _oracle_extract_text_variant(),
         "top_content_score": _oracle_top_content_score(),
         "title_extract": _oracle_title_extract(),
+        "pub_date_extract": _oracle_pub_date_extract(),
         "similarity_ann_lsh": _oracle_ann_lsh(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),

@@ -8,10 +8,13 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from ..kernel.dates import DEFAULT_REF_DATE
+from ..kernel.htmldates import date_from_html
 from ..kernel.title import get_title
 from .extract import reconstruct_html
 
 TITLE_SCHEMA = "doc_id string, title string"
+PUBDATE_SCHEMA = "doc_id string, pub_date string"
 
 
 def _title_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -33,3 +36,26 @@ def _title_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_titles(df):
     """documents(doc_id, spans[, base_uri]) -> (doc_id, title)."""
     return df.mapInPandas(_title_batches, schema=TITLE_SCHEMA)
+
+
+def _pubdate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for row in pdf.itertuples(index=False):
+            spans = getattr(row, "spans")
+            html = reconstruct_html(
+                [dict(s) for s in spans] if spans is not None else []
+            )
+            rows.append(
+                {
+                    "doc_id": getattr(row, "doc_id"),
+                    "pub_date": date_from_html(html, None, DEFAULT_REF_DATE),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "pub_date"])
+
+
+def extract_pub_dates(df):
+    """T2: documents(doc_id, spans) -> (doc_id, pub_date) via the weighted
+    HTML date extraction (TimeUtil.getDateFromHtml)."""
+    return df.mapInPandas(_pubdate_batches, schema=PUBDATE_SCHEMA)
