@@ -132,9 +132,10 @@ def run_extraction(
         extracted.write.mode("append").partitionBy("part").parquet(extracted_path)
         wall_ms = int((time.time() - t0) * 1000)
 
-        # lineage: one row per partition in this wave, written only after
-        # the extracted write committed (checkpoint granularity = wave)
-        lineage = (
+        # lineage: one row per partition in this wave (INCLUDING empty
+        # partitions, so resume skips them too), written only after the
+        # extracted write committed (checkpoint granularity = wave)
+        counts = (
             spark.read.parquet(extracted_path)
             .filter(F.col("part").isin(wave_parts))
             .groupBy("part")
@@ -146,6 +147,13 @@ def run_extraction(
                     "error_count"
                 ),
             )
+        )
+        wave_df_parts = spark.createDataFrame(
+            [(p,) for p in wave_parts], "part int"
+        )
+        lineage = (
+            wave_df_parts.join(counts, "part", "left")
+            .fillna(0, ["doc_count", "span_count", "image_count", "error_count"])
             .withColumn("status", F.lit("ok"))
             .withColumn("attempt", F.lit(attempt))
             .withColumn("wall_ms", F.lit(wall_ms))
