@@ -28,9 +28,17 @@ see them exactly like the reference does.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from html import escape
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlparse
+
+
+@lru_cache(maxsize=4096)
+def _resolve_url(base: str, val: str) -> str:
+    """Memoized absUrl resolution (same base repeats for every node)."""
+    resolved = urljoin(base, val) if base else val
+    return resolved if urlparse(resolved).scheme else ""
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -66,13 +74,22 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_rev", "_text_cache")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None):
         self.tag = tag.lower()
         self.attrs: dict[str, str] = dict(attrs) if attrs else {}
         self.children: list[Element | TextNode] = []
         self.parent: Element | None = None
+        self._rev = 0  # structure revision, meaningful on root nodes
+        self._text_cache: tuple[int, str] | None = None
+
+    def _bump(self) -> None:
+        """Invalidate text() caches: bump the revision at this tree's root."""
+        node = self
+        while node.parent is not None:
+            node = node.parent
+        node._rev += 1
 
     # --- attribute API (attr names normalized to lowercase on parse) ------
     def attr(self, key: str) -> str:
@@ -96,19 +113,24 @@ class Element:
     # --- tree API ----------------------------------------------------------
     def append_child(self, node: "Element | TextNode") -> None:
         if node.parent is not None:
+            node.parent._bump()
             node.parent.children.remove(node)
         node.parent = self
         self.children.append(node)
+        self._bump()
 
     def prepend_child(self, node: "Element | TextNode") -> None:
         if node.parent is not None:
+            node.parent._bump()
             node.parent.children.remove(node)
         node.parent = self
         self.children.insert(0, node)
+        self._bump()
 
     def remove(self) -> None:
         """Detach from parent (jsoup Node.remove)."""
         if self.parent is not None:
+            self._bump()
             self.parent.children.remove(self)
             self.parent = None
 
@@ -142,25 +164,58 @@ class Element:
         stack = list(reversed(self.children))
         while stack:
             node = stack.pop()
-            if isinstance(node, Element):
+            if node.__class__ is not TextNode:
                 yield node
                 stack.extend(reversed(node.children))
 
     def get_elements_by_tag(self, tag: str, include_self: bool = True) -> list["Element"]:
         tag = tag.lower()
-        return [e for e in self.iter_elements(include_self) if e.tag == tag]
+        out: list[Element] = []
+        if include_self and self.tag == tag:
+            out.append(self)
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.__class__ is not TextNode:
+                if node.tag == tag:
+                    out.append(node)
+                if node.children:
+                    stack.extend(reversed(node.children))
+        return out
 
     def all_elements(self) -> list["Element"]:
-        return list(self.iter_elements(include_self=True))
+        out: list[Element] = [self]
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.__class__ is not TextNode:
+                out.append(node)
+                if node.children:
+                    stack.extend(reversed(node.children))
+        return out
 
     # --- text extraction -----------------------------------------------------
     def text(self) -> str:
-        """Whitespace-normalized visible text (jsoup-like)."""
+        """Whitespace-normalized visible text (jsoup-like).
+
+        Memoized per tree revision: structural mutations bump the root's
+        revision (append/prepend/remove/set_html), so cached values stay
+        valid between mutations. The only retag the kernel performs is
+        div->p (both block-level), which cannot change text().
+        """
+        root = self
+        while root.parent is not None:
+            root = root.parent
+        key = (id(root), root._rev)
+        cached = self._text_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
         parts: list[str] = []
 
         def walk(el: Element) -> None:
             for c in el.children:
-                if isinstance(c, TextNode):
+                if c.__class__ is TextNode:
                     parts.append(c.data)
                 else:
                     if c.tag in BLOCK_ELEMENTS:
@@ -170,7 +225,9 @@ class Element:
                         parts.append(" ")
 
         walk(self)
-        return _WS_RUN.sub(" ", "".join(parts)).strip()
+        value = _WS_RUN.sub(" ", "".join(parts)).strip()
+        self._text_cache = (key, value)
+        return value
 
     # --- serialization -------------------------------------------------------
     def html(self) -> str:
@@ -204,9 +261,7 @@ class Element:
         val = self.attr(attr_key)
         if not val:
             return ""
-        base = self.base_uri()
-        resolved = urljoin(base, val) if base else val
-        return resolved if urlparse(resolved).scheme else ""
+        return _resolve_url(self.base_uri(), val)
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"<{self.tag} {self.attrs}>"
@@ -289,7 +344,9 @@ class _TreeBuilder(HTMLParser):
             if k not in attr_dict:  # first occurrence wins (jsoup behavior)
                 attr_dict[k] = v if v is not None else ""
         el = Element(tag, attr_dict)
-        self.cur.append_child(el)
+        # raw append: the tree is under construction, no caches to invalidate
+        el.parent = self.cur
+        self.cur.children.append(el)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
@@ -300,14 +357,17 @@ class _TreeBuilder(HTMLParser):
             k = k.lower()
             if k not in attr_dict:
                 attr_dict[k] = v if v is not None else ""
-        self.cur.append_child(Element(tag, attr_dict))
+        el = Element(tag, attr_dict)
+        el.parent = self.cur
+        self.cur.children.append(el)
 
     def handle_endtag(self, tag: str) -> None:
         self._close_tag(tag.lower())
 
     def handle_data(self, data: str) -> None:
         if data:
-            self.cur.append_child(TextNode(data))
+            node = TextNode(data, self.cur)
+            self.cur.children.append(node)
 
     def handle_comment(self, data: str) -> None:  # comments are dropped
         pass
