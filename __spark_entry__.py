@@ -286,6 +286,88 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+def q_scored_dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the scored-DOM intermediate for the constructed pages. Both
+    scored nodes are analytically known: the content div carries
+    30 + (1 + 2 commas + min(len/100,3)) pre-scaling; the body
+    (grandparent) carries half the paragraph score (Java int division)."""
+    from readabilityimproved_spark.operators.textops import scored_dom_nodes
+
+    return scored_dom_nodes(_shaped_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "tag", "cls", "node_id",
+        F.col("score").cast("int").alias("score"),
+    )
+
+
+def _oracle_scored_dom_nodes() -> str:
+    tail_len = len(_TAIL)
+    cs = f"(3 + least((n_chars + {tail_len}) // 100, 3))"
+    return f"""
+SELECT doc_id, 'div' AS tag, 'article content' AS cls, '' AS node_id,
+       cast(30 + {cs} as int) AS score
+FROM documents
+UNION ALL
+SELECT doc_id, 'body', '', '', cast({cs} // 2 as int) FROM documents
+"""
+
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch form of the streaming operator)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from readabilityimproved_spark.streaming.stream import windowed_event_metrics
+
+    out = windowed_event_metrics(events, "1 hour")
+    return out.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )  # approx_count_distinct is engine-specific -> excluded from the oracle
+
+
+def _oracle_event_window_agg() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+_NEARDUP_THRESHOLD = 0.2
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD)
+
+
+def _oracle_embedding_neardup() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, cast({bucket} as int) AS bucket,
+         [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
+          for x in embedding] AS vec
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, bucket, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.vec, b.vec)
+             / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS cosine
+FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec)
+            / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= {_NEARDUP_THRESHOLD}
+"""
+
+
 def _oracle_extract_article_spans() -> str:
     return f"""
 WITH base AS (
@@ -492,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_content_score": q_top_content_score,
         "title_extract": q_title_extract,
         "pub_date_extract": q_pub_date_extract,
+        "scored_dom_nodes": q_scored_dom_nodes,
         # --- scalar function library (SURVEY.md §2.6, §2.3 quirks) -------
         "date_from_url": sql_query(_date_from_url_query),
         "normalize_ws": sql_query(_normalize_ws_query),
@@ -515,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": lambda spark, sf: ann_bucketed_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
         ),
+        "embedding_neardup": q_embedding_neardup,
+        # --- relational / streaming-parity tier ---------------------------
+        "event_window_agg": q_event_window_agg,
     }
 
 
@@ -525,7 +611,10 @@ def oracle_sql() -> dict[str, str]:
         "top_content_score": _oracle_top_content_score(),
         "title_extract": _oracle_title_extract(),
         "pub_date_extract": _oracle_pub_date_extract(),
+        "scored_dom_nodes": _oracle_scored_dom_nodes(),
         "similarity_ann_lsh": _oracle_ann_lsh(),
+        "embedding_neardup": _oracle_embedding_neardup(),
+        "event_window_agg": _oracle_event_window_agg(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),

@@ -194,6 +194,11 @@ class ReadabilityKernel:
         self.pictext: dict[str, int] = {}
         self.body_cache: str | None = None
         self.top_content_score = 0
+        self.collect_debug = False
+        # scored-DOM snapshot at the reference's dump point (S6,
+        # ReadabilityForImg.java:786-791): after paragraph scoring,
+        # BEFORE link-density scaling
+        self.debug_scores: list[tuple[str, str, str, int]] = []
 
     # --- P1-P6 ------------------------------------------------------------
     def prep_document(self) -> None:
@@ -265,6 +270,13 @@ class ReadabilityKernel:
             inc_content_score(parent_node, content_score)
             if grand_parent_node is not None:
                 inc_content_score(grand_parent_node, jdiv(content_score, 2))
+
+        if self.collect_debug:
+            self.debug_scores = [
+                (n.tag, n.class_name(), n.id(), get_content_score(n))
+                for n in doc.all_elements()
+                if n.has_attr(CONTENT_SCORE)
+            ]
 
         # C8 link-density scaling + C9 argmax (first strict max wins)
         top_candidate: Element | None = None
@@ -908,6 +920,24 @@ def _emit_spans(
             emitted.add(src)
 
     return [(kind, text, ref, i) for i, (kind, text, ref) in enumerate(out)]
+
+
+def debug_scored_nodes(
+    html: str,
+    base_uri: str = "",
+    ref_date: dt.datetime = DEFAULT_REF_DATE,
+    variant: str = "img",
+) -> list[tuple[str, str, str, int]]:
+    """S6: the scored-DOM intermediate as rows (tag, class, id, score),
+    captured at the reference's debug-dump point (pre-scaling)."""
+    try:
+        kernel = ReadabilityKernel(html, base_uri, ref_date, variant)
+        kernel.collect_debug = True
+        kernel.prep_document()
+        kernel.grab_article(preserve_unlikely_candidates=False)
+        return kernel.debug_scores
+    except Exception:
+        return []
 
 
 def extract_document(

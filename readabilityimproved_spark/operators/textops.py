@@ -59,3 +59,41 @@ def extract_pub_dates(df):
     """T2: documents(doc_id, spans) -> (doc_id, pub_date) via the weighted
     HTML date extraction (TimeUtil.getDateFromHtml)."""
     return df.mapInPandas(_pubdate_batches, schema=PUBDATE_SCHEMA)
+
+
+SCORED_NODES_SCHEMA = "doc_id string, tag string, cls string, node_id string, score int"
+
+
+def _scores_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernel.readability import debug_scored_nodes
+
+    for pdf in batches:
+        has_base = "base_uri" in pdf.columns
+        rows = []
+        for row in pdf.itertuples(index=False):
+            spans = getattr(row, "spans")
+            html = reconstruct_html(
+                [dict(s) for s in spans] if spans is not None else []
+            )
+            base = getattr(row, "base_uri") if has_base else ""
+            if not isinstance(base, str):
+                base = ""
+            for tag, cls, node_id, score in debug_scored_nodes(html, base):
+                rows.append(
+                    {
+                        "doc_id": getattr(row, "doc_id"),
+                        "tag": tag,
+                        "cls": cls,
+                        "node_id": node_id,
+                        "score": score,
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "tag", "cls", "node_id", "score"]
+        )
+
+
+def scored_dom_nodes(df):
+    """S6 debug sink as a queryable table: one row per content-scored node
+    at the reference's dump point (pre link-density scaling)."""
+    return df.mapInPandas(_scores_batches, schema=SCORED_NODES_SCHEMA)
