@@ -30,7 +30,6 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 from html import escape
-from html.parser import HTMLParser
 from urllib.parse import urljoin, urlparse
 
 
@@ -311,13 +310,109 @@ def _serialize(node: Element | TextNode) -> str:
     return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
 
 
-class _TreeBuilder(HTMLParser):
-    """Parses into a synthetic root without implicit html/head/body."""
+# --- fast tokenizer (replaces html.parser's goahead loop) -----------------
+# Anchored regexes tried at each '<'; anything unmatched is literal text.
+_T_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)\s*>")
+_T_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>"
+)
+_T_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_T_DECL = re.compile(r"<![^>]*>")
+_T_PI = re.compile(r"<\?[^>]*>")
+_T_ATTR = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</style\s*>", re.IGNORECASE),
+}
+_HAS_AMP = "&"
+
+
+from html import unescape as _html_unescape
+
+
+def _unescape(s: str) -> str:
+    return _html_unescape(s) if _HAS_AMP in s else s
+
+
+class _TreeBuilder:
+    """Parses into a synthetic root without implicit html/head/body.
+
+    Custom single-pass tokenizer (html.parser-compatible for the subset
+    this engine specifies): entities decoded in text and attribute
+    values, script/style bodies taken raw (CDATA), stray '<' is text,
+    comments/doctypes/PIs dropped.
+    """
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.root = Element("#fragment")
         self.stack: list[Element] = [self.root]
+
+    def feed(self, s: str) -> None:
+        pos = 0
+        n = len(s)
+        find = s.find
+        while pos < n:
+            lt = find("<", pos)
+            if lt == -1:
+                self.handle_data(_unescape(s[pos:]))
+                break
+            if lt > pos:
+                self.handle_data(_unescape(s[pos:lt]))
+            m = _T_START.match(s, lt)
+            if m is not None:
+                tag = m.group(1).lower()
+                chunk = m.group(2)
+                self_closing = bool(m.group(3))
+                # the attr chunk may have swallowed the self-closing '/':
+                # it is a marker only when not part of an unquoted value
+                if not self_closing and chunk.endswith("/"):
+                    prev = chunk[-2] if len(chunk) >= 2 else " "
+                    if prev in "\"' \t\n\r":
+                        self_closing = True
+                        chunk = chunk[:-1]
+                attrs = _T_ATTR.findall(chunk) if chunk.strip() else ()
+                attr_pairs = [
+                    (
+                        name,
+                        _unescape(dq if dq else (sq if sq else uq)),
+                    )
+                    for name, dq, sq, uq in attrs
+                ]
+                pos = m.end()
+                if self_closing:
+                    self.handle_startendtag(tag, attr_pairs)
+                    continue
+                self.handle_starttag(tag, attr_pairs)
+                raw = _RAWTEXT_CLOSE.get(tag)
+                if raw is not None:  # CDATA content: no tags, no entities
+                    mc = raw.search(s, pos)
+                    end = mc.start() if mc else n
+                    if end > pos:
+                        self.handle_data(s[pos:end])
+                    self.handle_endtag(tag)
+                    pos = mc.end() if mc else n
+                continue
+            m = _T_END.match(s, lt)
+            if m is not None:
+                self.handle_endtag(m.group(1).lower())
+                pos = m.end()
+                continue
+            m = (
+                _T_COMMENT.match(s, lt)
+                or _T_DECL.match(s, lt)
+                or _T_PI.match(s, lt)
+            )
+            if m is not None:
+                pos = m.end()
+                continue
+            # lone '<': literal text (html.parser-compatible recovery)
+            self.handle_data("<")
+            pos = lt + 1
+
+    def close(self) -> None:
+        pass
 
     @property
     def cur(self) -> Element:

@@ -56,6 +56,9 @@ F05 = float(np.float32(0.5))
 
 _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>\s*<p")
 _WS_RUN = re.compile(r"\s+")
+_DIV_TO_P_TAGS = frozenset(
+    ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
+)
 
 
 def _f32_mul(a: float, b: float) -> float:
@@ -109,11 +112,14 @@ def elements_by_tag(e: Element, tag: str) -> list[Element]:
 
 def get_inner_text(e: Element, normalize_spaces: bool) -> str:
     """C3: ``e.text().trim()``; normalized variant DELETES ws runs >= 2
-    (the ``\\s{2,}`` -> "" quirk, Readability.java:462-470)."""
-    text = e.text()
-    if normalize_spaces:
-        text = P.REGEX_NORMALIZE.sub("", text)
-    return text
+    (the ``\\s{2,}`` -> "" quirk, Readability.java:462-470).
+
+    Our ``text()`` already collapses whitespace runs to single spaces
+    (jsoup does the same), so the ``\\s{2,}`` substitution is provably
+    the identity here and is skipped. The quirk remains live where it
+    operates on RAW strings (functions/sqlgen.normalize_ws_sql).
+    """
+    return e.text()
 
 
 def get_char_count(e: Element, s: str = ",") -> int:
@@ -241,7 +247,14 @@ class ReadabilityKernel:
                 ):
                     node.remove()
                     continue
-            if node.tag == "div" and not P.DIV_TO_P_ELEMENTS.search(node.html()):
+            # C2: the reference regex-scans innerHTML for block/anchor tags
+            # (Readability.java:308-321). InnerHTML escapes text ('<' ->
+            # &lt;), so the regex matches iff a DESCENDANT ELEMENT carries
+            # one of the tags -- checked directly, no serialization.
+            if node.tag == "div" and not any(
+                e.tag in _DIV_TO_P_TAGS
+                for e in node.iter_elements(include_self=False)
+            ):
                 node.tag = "p"
 
         # C4/C5/C6 paragraph scoring
