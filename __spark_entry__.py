@@ -481,6 +481,22 @@ FROM documents
 """
 
 
+def _bpe_token_count_query(dialect: str) -> str:
+    s = "(text || ', it''s 42 degrees!')"  # exercise every piece class
+    return f"""
+SELECT doc_id, {sqlgen.bpe_token_count_sql(s, dialect)} AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _rolling_hash_query(dialect: str) -> str:
+    return f"""
+SELECT doc_id, cast({sqlgen.rolling_hash_sql('text', dialect)} as bigint)
+           AS rhash
+FROM documents
+"""
+
+
 def _dedup_exact_oracle() -> str:
     fp = sqlgen.fingerprint_sql("text", DUCKDB)
     return f"""
@@ -584,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": sql_query(_quality_query),
         "lang_id": sql_query(_lang_id_query),
         "doc_fingerprint": sql_query(_fingerprint_query),
+        "bpe_token_count": sql_query(_bpe_token_count_query),
+        "rolling_hash": sql_query(_rolling_hash_query),
         # --- dedup tier ---------------------------------------------------
         "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
         "ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
@@ -623,6 +641,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_query(DUCKDB),
         "lang_id": _lang_id_query(DUCKDB),
         "doc_fingerprint": _fingerprint_query(DUCKDB),
+        "bpe_token_count": _bpe_token_count_query(DUCKDB),
+        "rolling_hash": _rolling_hash_query(DUCKDB),
         "dedup_exact": _dedup_exact_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),

@@ -69,7 +69,9 @@ def _extract(s: str, pattern: str, group: int, dialect: str) -> str:
 
 
 def _extract_all(s: str, pattern: str, dialect: str) -> str:
-    return f"regexp_extract_all({s}, {_re_lit(pattern, dialect)})"
+    # group 0 (full match) explicitly: Spark defaults to group 1,
+    # DuckDB to group 0 -- pin them to the same behavior
+    return f"regexp_extract_all({s}, {_re_lit(pattern, dialect)}, 0)"
 
 
 def _date_plus(d: str, n: str, dialect: str) -> str:
@@ -217,6 +219,44 @@ def fingerprint_sql(s: str, dialect: str) -> str:
     """Document fingerprint: md5 of the lower-cased, ws-collapsed text."""
     collapsed = _replace_all(f"lower(trim({s}))", r"\s+", " ", dialect)
     return f"md5({collapsed})"
+
+
+#: GPT-2-style pre-tokenizer: contractions, letter runs, digit runs,
+#: punctuation runs (leading-space optional), whitespace runs
+BPE_TOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_sql(s: str, dialect: str) -> str:
+    """BPE-ish token count (GPT-2 pre-tokenizer granularity); pure
+    whitespace pieces excluded from the count."""
+    pieces = _extract_all(s, BPE_TOKEN_RE, dialect)
+    fn = "filter" if dialect == SPARK else "list_filter"
+    nonws = f"{fn}({pieces}, p -> trim(p) <> '')"
+    return f"cast({_size(nonws, dialect)} as int)"
+
+
+#: rolling polynomial hash parameters (base 31, large prime modulus --
+#: stays well inside int64 in both engines)
+_RH_MOD = 1_000_000_007
+
+
+def rolling_hash_sql(s: str, dialect: str) -> str:
+    """Polynomial rolling hash over the ws-collapsed lower-cased text:
+    h = (h*31 + code(char)) mod 1e9+7, left-to-right."""
+    collapsed = _replace_all(f"lower(trim({s}))", r"\s+", " ", dialect)
+    if dialect == SPARK:
+        chars = f"split({collapsed}, '')"
+        return (
+            f"aggregate({chars}, 0L,"
+            f" (acc, c) -> (acc * 31 + ascii(c)) % {_RH_MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, [ascii(c) for c in"
+        f" string_split({collapsed}, '')]),"
+        f" (acc, c) -> (acc * 31 + c) % {_RH_MOD})"
+    )
 
 
 STOPWORD_RE = r"\b(the|a|and|of|to|in|is|on|for|with)\b"

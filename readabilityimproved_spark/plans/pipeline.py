@@ -59,8 +59,25 @@ def salted_extract(
     parallelism: int,
     ref_date: dt.datetime = DEFAULT_REF_DATE,
     giant_threshold: int = GIANT_SPAN_THRESHOLD,
+    strategy: str = "bytes",
 ) -> DataFrame:
-    """Skew-aware extraction: normals hash-partitioned, giants round-robin."""
+    """Skew-aware extraction.
+
+    strategy='bytes' (default, measured fastest and shuffle-free): rely
+    on byte-based file splits -- extraction cost is proportional to
+    bytes, so `spark.sql.files.maxPartitionBytes` spreads giant
+    documents across tasks with NO shuffle at all (plan: Scan ->
+    MapInPandas). Size the conf so corpus_bytes / maxPartitionBytes >=
+    ~3x total cores (plans.session sets a 128 MB default; bench uses
+    512 KB for its 24 MB corpus).
+
+    strategy='hash': explicit two-pool salting for adversarial layouts
+    (e.g. all giants physically clustered in one file): normals
+    hash-repartition on doc_id, giants round-robin across the full
+    parallelism, then the two extracted streams union.
+    """
+    if strategy == "bytes":
+        return extract_spans(df, ref_date=ref_date)
     sized = df.withColumn("_n", F.size("spans"))
     normal = (
         sized.filter(F.col("_n") <= giant_threshold)
@@ -70,7 +87,7 @@ def salted_extract(
     giant = (
         sized.filter(F.col("_n") > giant_threshold)
         .drop("_n")
-        .repartition(max(parallelism // 2, 1))  # round-robin: spreads giants evenly
+        .repartition(parallelism)  # round-robin: giants spread evenly
     )
     return extract_spans(normal, ref_date=ref_date).unionByName(
         extract_spans(giant, ref_date=ref_date)
@@ -106,6 +123,7 @@ def run_extraction(
     parallelism: int | None = None,
     ref_date: dt.datetime = DEFAULT_REF_DATE,
     resume: bool = True,
+    strategy: str = "bytes",
     fail_after_wave: int | None = None,  # test hook for kill-and-resume
 ) -> dict:
     """Run (or resume) the full extraction job. Returns run stats."""
@@ -128,7 +146,9 @@ def run_extraction(
         # the corpus was written by sources.synth
         wave_df = docs.filter(F.col("part").isin(wave_parts))
         t0 = time.time()
-        extracted = salted_extract(wave_df, parallelism, ref_date=ref_date)
+        extracted = salted_extract(
+            wave_df, parallelism, ref_date=ref_date, strategy=strategy
+        )
         extracted.write.mode("append").partitionBy("part").parquet(extracted_path)
         wall_ms = int((time.time() - t0) * 1000)
 
