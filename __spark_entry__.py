@@ -312,6 +312,72 @@ SELECT doc_id, 'body', '', '', cast({cs} // 2 as int) FROM documents
 """
 
 
+def q_extract_rejects_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-path oracle: the constructed page carries a tiny REMOVE_IMG
+    logo, a duplicated photo, and a data-uri image -- the kernel must emit
+    the text span ONLY (I5 size buckets, I11 count==1 dedup, I1 data-uri
+    skip, C1 sidebar pruning all verified by hash equality)."""
+    docs = _docs(spark, sf_dir)
+    # 5 paragraphs so the img>p conditional-clean rule (correctly) does
+    # not fire on this 4-image page
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    paras = [
+        F.concat(F.lit(f"<p>{w}: "), F.col("text"), F.lit(_TAIL + "</p>"))
+        for w in words
+    ]
+    dup = F.concat(
+        F.lit("http://img.example.com/2019-06/18/photo"),
+        F.col("doc_id").cast("string"),
+        F.lit("_dup.jpg"),
+    )
+    page = F.concat(
+        F.lit(_PAGE_OPEN),
+        *paras,
+        F.lit('<img src="'), dup, F.lit('" width="640" height="420">'),
+        F.lit('<img src="'), dup, F.lit('" width="640" height="420">'),
+        F.lit('<img src="http://img.example.com/static/logo.png"'
+              ' width="80" height="80">'),
+        F.lit('<img src="data:image/gif;base64,R0lGODlh" width="600"'
+              ' height="600">'),
+        F.lit(_PAGE_CLOSE),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            page.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    base = F.concat(
+        F.lit(_BASE_PREFIX), F.col("doc_id").cast("string"), F.lit(".html")
+    )
+    shaped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        base.alias("base_uri"),
+        spans.alias("spans"),
+    )
+    extracted = extract_spans(shaped)
+    s = F.explode("spans").alias("s")
+    return extracted.select(F.col("doc_id"), s).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("span_offset"),
+    )
+
+
+def _oracle_extract_rejects_boilerplate() -> str:
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, 'text' AS kind,"
+        f" '{w}: ' || text || '{_TAIL}' AS text, {i} AS span_offset"
+        f" FROM documents"
+        for i, w in enumerate(words)
+    )
+    return selects
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (batch form of the streaming operator)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -587,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
+        "extract_rejects_boilerplate": q_extract_rejects_boilerplate,
         "top_content_score": q_top_content_score,
         "title_extract": q_title_extract,
         "pub_date_extract": q_pub_date_extract,
@@ -626,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_article_spans": _oracle_extract_article_spans(),
         "extract_text_variant": _oracle_extract_text_variant(),
+        "extract_rejects_boilerplate": _oracle_extract_rejects_boilerplate(),
         "top_content_score": _oracle_top_content_score(),
         "title_extract": _oracle_title_extract(),
         "pub_date_extract": _oracle_pub_date_extract(),

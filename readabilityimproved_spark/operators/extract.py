@@ -26,13 +26,18 @@ from functools import partial
 import pandas as pd
 
 from ..kernel.dates import DEFAULT_REF_DATE
-from ..kernel.readability import extract_document
+from ..kernel.readability import ExtractionResult, extract_document
 
 EXTRACTED_SCHEMA = (
     "doc_id string, part int, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "n_spans int, n_images int, top_score int, status string"
 )
+
+#: documents whose reconstructed HTML exceeds this are not parsed at all
+#: (status='oversize'); protects executor memory/CPU from pathological
+#: inputs at 10^12-doc scale (SURVEY.md §7)
+MAX_HTML_BYTES = 20 * 1024 * 1024
 
 
 def reconstruct_html(spans: list[dict]) -> str:
@@ -70,9 +75,12 @@ def _extract_batches(
             base_uri = getattr(row, "base_uri") if has_base else ""
             if not isinstance(base_uri, str):  # None/NaN from null columns
                 base_uri = ""
-            result = extract_document(
-                html, base_uri=base_uri, ref_date=ref_date, variant=variant
-            )
+            if len(html) > MAX_HTML_BYTES:
+                result = ExtractionResult(spans=[], status="oversize")
+            else:
+                result = extract_document(
+                    html, base_uri=base_uri, ref_date=ref_date, variant=variant
+                )
             part_val = getattr(row, "part") if has_part else None
             out_rows.append(
                 {

@@ -99,3 +99,15 @@ def test_pipeline_end_to_end_and_resume(spark, corpus_path, tmp_path):
     per_part = lineage.groupBy("part").count().collect()
     assert all(r["count"] == 1 for r in per_part)
     assert lineage.agg(F.sum("doc_count")).collect()[0][0] == N_DOCS
+
+
+def test_oversize_guard(spark):
+    from readabilityimproved_spark.operators.extract import MAX_HTML_BYTES
+
+    big = "x" * (MAX_HTML_BYTES + 10)
+    df = spark.createDataFrame(
+        [("huge", [{"kind": "html", "text": big, "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = extract_spans(df).collect()
+    assert rows[0]["status"] == "oversize" and rows[0]["n_spans"] == 0
