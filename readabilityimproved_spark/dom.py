@@ -90,6 +90,12 @@ class Element:
             node = node.parent
         node._rev += 1
 
+    def retag(self, new_tag: str) -> None:
+        """Change the tag (jsoup tagName(str)). No cache invalidation
+        needed: the kernel only retags div->p (both block-level, text()
+        unchanged), and tag queries traverse live."""
+        self.tag = new_tag
+
     # --- attribute API (attr names normalized to lowercase on parse) ------
     def attr(self, key: str) -> str:
         return self.attrs.get(key.lower(), "")
@@ -168,6 +174,9 @@ class Element:
                 stack.extend(reversed(node.children))
 
     def get_elements_by_tag(self, tag: str, include_self: bool = True) -> list["Element"]:
+        # NOTE: a per-revision tag index was tried and is a net LOSS here:
+        # prepArticle interleaves mutations with queries, so the index is
+        # rebuilt almost every query. Plain traversal wins.
         tag = tag.lower()
         out: list[Element] = []
         if include_self and self.tag == tag:

@@ -74,7 +74,7 @@ def get_content_score(node: Element | None) -> int:
     if node is None:
         return 0
     try:
-        return int(node.attr(CONTENT_SCORE))
+        return int(node.attrs.get(CONTENT_SCORE, ""))
     except ValueError:
         return 0
 
@@ -92,7 +92,7 @@ def get_img_score(node: Element | None) -> int:
     if node is None:
         return 0
     try:
-        return int(node.attr(IMG_SCORE))
+        return int(node.attrs.get(IMG_SCORE, ""))
     except ValueError:
         return 0
 
@@ -255,7 +255,7 @@ class ReadabilityKernel:
                 e.tag in _DIV_TO_P_TAGS
                 for e in node.iter_elements(include_self=False)
             ):
-                node.tag = "p"
+                node.retag("p")
 
         # C4/C5/C6 paragraph scoring
         all_paragraphs = doc.get_elements_by_tag("p", include_self=False)
