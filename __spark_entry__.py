@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 from readabilityimproved_spark.functions import sqlgen
 from readabilityimproved_spark.operators.dedup import (
+    dedup_keep_first,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash64,
 )
@@ -572,6 +574,14 @@ FROM documents GROUP BY 1
 """
 
 
+def _dedup_keep_first_oracle() -> str:
+    fp = sqlgen.fingerprint_sql("text", DUCKDB)
+    return f"""
+SELECT * FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {fp})
+"""
+
+
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.1
 
@@ -671,6 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash": sql_query(_rolling_hash_query),
         # --- dedup tier ---------------------------------------------------
         "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
+        "dedup_keep_first": lambda spark, sf: dedup_keep_first(_docs(spark, sf)),
+        "minhash_verified": lambda spark, sf: minhash_verified_pairs(
+            _docs(spark, sf), threshold=0.1
+        ),
         "ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
             _docs(spark, sf), n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
         ),
@@ -712,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_query(DUCKDB),
         "rolling_hash": _rolling_hash_query(DUCKDB),
         "dedup_exact": _dedup_exact_oracle(),
+        "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
         # minhash_lsh / simhash / similarity_ann_lsh: xxhash64-based,

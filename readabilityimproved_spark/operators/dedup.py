@@ -18,7 +18,7 @@ DISTINCT shingle step bounds per-doc fanout first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -90,6 +90,17 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The pipeline-facing dedup: keep only the representative (minimum
+    id) row of every exact-duplicate group -- the deduplicated corpus."""
+    reps = exact_dedup(df, id_col, text_col).select(
+        F.col("representative").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,6 +148,52 @@ def minhash_lsh_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.countDistinct("band").alias("matching_bands"))
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The scale path end-to-end: LSH candidate generation followed by
+    exact Jaccard verification of ONLY the candidate pairs. At 10^12 docs
+    this replaces the all-pairs shingle self-join; the verification join
+    touches candidate docs only."""
+    candidates = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).select("id_a", "id_b")
+    sh = _shingles(df, id_col, text_col, shingle_n)
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.join(sh.alias("a"), candidates["id_a"] == F.col("a.id"))
+        .join(
+            sh.alias("b"),
+            (candidates["id_b"] == F.col("b.id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
+            "id_a",
+        )
+        .join(
+            counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

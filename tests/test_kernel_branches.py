@@ -115,3 +115,41 @@ def test_apology_path_text_variant():
 def test_img_variant_never_apologizes():
     r = extract_document('<div class="sidebar"></div>', variant="img")
     assert r.spans == []
+
+
+def test_image_at_article_start_and_end():
+    paras = "".join(
+        f"<p>word{i} lorem ipsum dolor sit, amet consectetur adipiscing "
+        f"elit sed do eiusmod tempor.</p>"
+        for i in range(3)
+    )
+    first = '<img src="http://news.site/2019-06/18/photo_first.jpg" width="640" height="420">'
+    last = '<img src="http://news.site/2019-06/18/photo_last.jpg" width="640" height="420">'
+    html = f'<div class="article content">{first}{paras}{last}</div>'
+    r = extract_document(html, base_uri=BASE)
+    kinds = [s[0] for s in r.spans]
+    assert kinds[0] == "image" and kinds[-1] == "image"
+    assert r.spans[0][2].endswith("photo_first.jpg")
+    assert r.spans[-1][2].endswith("photo_last.jpg")
+    assert [s[3] for s in r.spans] == list(range(len(r.spans)))
+
+
+def test_accepted_image_outside_article_appended():
+    # grabImg scans the whole document; an accepted image outside the
+    # gathered article is appended after the article spans
+    paras = "".join(
+        f"<p>word{i} lorem ipsum dolor sit, amet consectetur adipiscing "
+        f"elit sed do eiusmod tempor.</p>"
+        for i in range(3)
+    )
+    html = (
+        f'<div class="article content">{paras}</div>'
+        f'<div class="gallery"><img src="http://news.site/2019-06/18/photo_out.jpg"'
+        f' width="640" height="420"></div>'
+    )
+    r = extract_document(html, base_uri=BASE)
+    if "http://news.site/2019-06/18/photo_out.jpg" in r.images:
+        assert r.spans[-1][0] == "image"
+        assert r.spans[-1][2].endswith("photo_out.jpg")
+    # text spans always precede the appended out-of-article image
+    assert [s[0] for s in r.spans][:3] == ["text", "text", "text"]
