@@ -386,8 +386,9 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readabilityimproved_spark.streaming.stream import windowed_event_metrics
 
     out = windowed_event_metrics(events, "1 hour")
+    # timestamp_ntz matches DuckDB's naive TIMESTAMP in type and value
     return out.select(
-        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n_events",
         "sum_value",

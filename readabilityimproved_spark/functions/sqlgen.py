@@ -280,16 +280,20 @@ def quality_score_sql(s: str, dialect: str) -> str:
     )
 
 
+#: character-n-gram heuristic profiles: distinctive word-boundary
+#: bigrams/trigrams per language (counted with regexp_extract_all);
+#: n-gram-based rather than full-word so partial/inflected forms count
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|is|was|with)\b",
-    "de": r"\b(der|die|das|und|ist|nicht)\b",
-    "fr": r"\b(le|la|les|est|une|dans)\b",
-    "es": r"\b(el|los|las|es|una|para)\b",
+    "en": r"\bth| the |ing\b|\band\b| of ",
+    "de": r"\bder\b|\bdie\b|\bund\b|sch|\bich\b|ung\b",
+    "fr": r"\bles?\b|\bdes\b|\bune?\b|eau\b|\bqu|é",
+    "es": r"\bel\b|\blos\b|\bque\b|ción\b|\bes\b|ñ",
 }
 
 
 def lang_id_sql(s: str, dialect: str) -> str:
-    """Marker-word language ID; argmax with fixed precedence, 'und' if all 0."""
+    """Character-n-gram language ID: count distinctive n-gram hits per
+    language profile; argmax with fixed precedence, 'und' if all 0."""
     counts = {
         lang: _size(_extract_all(f"lower({s})", p, dialect), dialect)
         for lang, p in LANG_MARKERS.items()

@@ -114,6 +114,92 @@ def attach_media_features(extracted: DataFrame, features: DataFrame) -> DataFram
     )
 
 
+RESIZED_DDL = (
+    "media_ref string, target_w int, target_h int, payload binary, status string"
+)
+
+
+def _resize_batches(
+    batches: Iterator[pd.DataFrame], target_w: int, target_h: int, mode: str
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for row in pdf.itertuples(index=False):
+            payload = getattr(row, "payload")
+            if mode == "real":
+                # PIL.Image.open(io.BytesIO(payload)).resize(...) goes here
+                out, status = None, "decode-unavailable"
+            else:
+                # deterministic fake: size-prefixed checksum payload
+                crc = zlib.crc32(payload or b"")
+                out = f"resized:{target_w}x{target_h}:{crc}".encode()
+                status = "ok-fake"
+            rows.append(
+                {
+                    "media_ref": getattr(row, "media_ref"),
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": out,
+                    "status": status,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "target_w", "target_h", "payload", "status"]
+        )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 256, target_h: int = 256, mode: str = "fake"
+) -> DataFrame:
+    """Image resize over binary columns; codec stubbed, plumbing real."""
+    from functools import partial
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        partial(_resize_batches, target_w=target_w, target_h=target_h, mode=mode),
+        schema=RESIZED_DDL,
+    )
+
+
+FRAMES_DDL = "media_ref string, frame_idx int, frame_crc bigint, status string"
+
+
+def _frames_batches(
+    batches: Iterator[pd.DataFrame], every_n: int, mode: str
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for row in pdf.itertuples(index=False):
+            payload = getattr(row, "payload") or b""
+            ref = getattr(row, "media_ref")
+            if mode == "real":
+                # ffmpeg/pyav frame iteration goes here
+                rows.append(
+                    {"media_ref": ref, "frame_idx": -1, "frame_crc": -1,
+                     "status": "decode-unavailable"}
+                )
+                continue
+            # deterministic fake: one "frame" per every_n*64 bytes
+            n_frames = max(len(payload) // (every_n * 64), 1)
+            for i in range(n_frames):
+                chunk = payload[i * every_n * 64 : (i + 1) * every_n * 64]
+                rows.append(
+                    {"media_ref": ref, "frame_idx": i,
+                     "frame_crc": zlib.crc32(chunk), "status": "ok-fake"}
+                )
+        yield pd.DataFrame(
+            rows, columns=["media_ref", "frame_idx", "frame_crc", "status"]
+        )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, mode: str = "fake") -> DataFrame:
+    """Video frame sampling (one row per sampled frame); codec stubbed."""
+    from functools import partial
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        partial(_frames_batches, every_n=every_n, mode=mode), schema=FRAMES_DDL
+    )
+
+
 def synth_media(spark, n: int) -> DataFrame:
     """Deterministic fake media table for tests/bench."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -146,3 +146,27 @@ def test_multimodal_decode_and_attach(spark):
         "width", "height", "status",
     ]
     joined.count()  # executes the broadcast join
+
+
+def test_resize_and_frame_sample_stubs(spark):
+    from readabilityimproved_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    media = synth_media(spark, 30)
+    resized = resize_images(media, 128, 128).collect()
+    assert resized and all(r["status"] == "ok-fake" for r in resized)
+    assert all(r["target_w"] == 128 and r["payload"] for r in resized)
+
+    frames = sample_frames(media).collect()
+    assert frames and all(f["status"] == "ok-fake" for f in frames)
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f["media_ref"], []).append(f["frame_idx"])
+    for idxs in by_ref.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indexes
+
+    # real mode: plumbing intact, rows marked decode-unavailable
+    real = resize_images(media, 64, 64, mode="real").collect()
+    assert all(r["status"] == "decode-unavailable" for r in real)
