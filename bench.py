@@ -63,7 +63,7 @@ def ensure_corpus(spark) -> None:
         df.repartition(_BENCH_FILES).write.mode("overwrite").parquet(CORPUS)
 
 
-def timed_extraction(spark, runs: int = 2) -> tuple[float, int]:
+def timed_extraction(spark, runs: int = 3) -> tuple[float, int]:
     """Best-of-runs wall time for the scan->mapInPandas extraction."""
     from readabilityimproved_spark.operators.extract import extract_spans
 

@@ -124,12 +124,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs sharing any band bucket become a candidate pair. Emitted once
     (id_a < id_b) with the number of matching bands.
+
+    Hot-bucket capping: buckets larger than ``max_bucket_size`` are
+    dropped before the self-join. On low-entropy corpora (and at 10^12
+    docs, inevitably) some band buckets collect an outsized share of
+    documents; such buckets carry no near-dup signal but cost O(B^2)
+    pairs -- capping bounds the join output to
+    buckets * max_bucket_size^2 (the standard production LSH guard).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -142,6 +150,13 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    small_buckets = (
+        buckets.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    buckets = buckets.join(small_buckets, ["band", "bucket"])
     return (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
