@@ -33,6 +33,7 @@ from readabilityimproved_spark.operators.extract import extract_spans
 from readabilityimproved_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
+    ivf_topk,
 )
 
 SPARK, DUCKDB = sqlgen.SPARK, sqlgen.DUCKDB
@@ -437,6 +438,58 @@ WHERE round(list_dot_product(a.vec, b.vec)
 """
 
 
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def _oracle_ivf_topk() -> str:
+    return f"""
+WITH scaled AS (
+  SELECT vec_id AS vid,
+         [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
+          for x in embedding] AS vec
+  FROM embeddings
+), normed AS (
+  SELECT vid, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+), centroids AS (
+  SELECT vid AS cent_id, vec AS cvec, norm2 AS cnorm FROM normed
+  WHERE vid < {_IVF_CENTROIDS}
+), sims AS (
+  SELECT n.vid, c.cent_id,
+         round(list_dot_product(n.vec, c.cvec)
+               / (sqrt(n.norm2) * sqrt(c.cnorm)), 6) AS csim
+  FROM normed n CROSS JOIN centroids c
+), assignment AS (
+  SELECT vid, cent_id AS cluster FROM (
+    SELECT vid, cent_id,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY csim DESC, cent_id ASC) AS r
+    FROM sims) WHERE r = 1
+), probes AS (
+  SELECT vid AS query_id, cent_id AS cluster FROM (
+    SELECT vid, cent_id,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY csim DESC, cent_id ASC) AS r
+    FROM sims WHERE vid < {_TOPK_QUERIES}) WHERE r <= {_IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.vid AS cand_id,
+         round(list_dot_product(q.vec, n.vec)
+               / (sqrt(q.norm2) * sqrt(n.norm2)), 6) AS cosine
+  FROM probes p
+  JOIN assignment a ON a.cluster = p.cluster AND a.vid <> p.query_id
+  JOIN normed q ON q.vid = p.query_id
+  JOIN normed n ON n.vid = a.vid
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) as int)
+             AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
 def _oracle_extract_article_spans() -> str:
     return f"""
 WITH base AS (
@@ -699,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
         ),
         "embedding_neardup": q_embedding_neardup,
+        "similarity_ivf": lambda spark, sf: ivf_topk(
+            _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES,
+            num_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+        ),
         # --- relational / streaming-parity tier ---------------------------
         "event_window_agg": q_event_window_agg,
     }
@@ -715,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "scored_dom_nodes": _oracle_scored_dom_nodes(),
         "similarity_ann_lsh": _oracle_ann_lsh(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "similarity_ivf": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),

@@ -129,6 +129,110 @@ def ann_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid, then
+    each query probes only its ``nprobe`` nearest clusters.
+
+    Centroids here are the first ``num_centroids`` vectors (deterministic
+    seeds; a production build would k-means a sample offline -- the
+    dataflow is identical). At 10^12 rows the cluster assignment is one
+    broadcast-join map and the search touches nprobe/num_centroids of
+    the corpus.
+    """
+    scaled = _with_scaled(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
+    ).select("vid", "vec", "norm2")
+    centroids = (
+        scaled.filter(F.col("vid") < num_centroids)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm2").alias("cnorm"),
+        )
+    )
+
+    def nearest(df, n, out_name):
+        sims = (
+            df.crossJoin(F.broadcast(centroids))
+            .withColumn("cdot", F.expr(_DOT.format(a="vec", b="cvec")))
+            .withColumn(
+                "csim",
+                F.round(
+                    F.col("cdot")
+                    / (
+                        F.sqrt(F.col("norm2").cast("double"))
+                        * F.sqrt(F.col("cnorm").cast("double"))
+                    ),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            sims.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select("vid", F.col("cent_id").alias(out_name))
+        )
+
+    assignment = nearest(scaled, 1, "cluster")
+    corpus = scaled.join(assignment, "vid").select(
+        F.col("vid").alias("cand_id"),
+        "cluster",
+        F.col("vec").alias("evec"),
+        F.col("norm2").alias("enorm"),
+    )
+    probes = nearest(
+        scaled.filter(F.col("vid") < num_queries), nprobe, "cluster"
+    ).withColumnRenamed("vid", "query_id")
+    queries = (
+        scaled.filter(F.col("vid") < num_queries)
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm2").alias("qnorm"),
+        )
+        .join(probes, "query_id")
+    )
+
+    scored = (
+        corpus.join(F.broadcast(queries), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="evec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("qnorm").cast("double"))
+                    * F.sqrt(F.col("enorm").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+        # no dedup needed: each candidate lives in exactly one cluster,
+        # so it joins at most one of a query's probe rows
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
