@@ -123,3 +123,55 @@ def test_date_from_doc_cascade():
     )
     assert date_from_doc(page("<p>2018-01-01</p>"), None, None, REF) == "2018-01-01"
     assert date_from_doc(page("<p>none</p>"), None, None, REF) == "2019-06-18 12:00:00"
+
+
+def test_format_weight_orders_same_battery():
+    # MDY (weight 50) close to the anchor beats YMD (weight 10) far away
+    body = "<p>06/18/2019 x</p>" + "z" * 200 + "<p>2017-01-01 y</p>"
+    assert date_from_html(page(body), None, REF) == "2019-06-18"
+    # ...but YMD wins when distances are comparable (lower format weight)
+    body2 = "<p>06/18/2019 x 2017-01-01 y</p>"
+    assert date_from_html(page(body2), None, REF) == "2017-01-01"
+
+
+def test_fullwidth_digit_date():
+    got = date_from_html(page("<p>２０１９年６月１８日</p>"), None, REF)
+    assert got == "2019-06-18"
+
+
+def test_fullwidth_five_crashes_like_java():
+    # ５ missing from the full-width map -> Java NumberFormatException -> None
+    assert date_from_html(page("<p>２０１５年６月１８日</p>"), None, REF) is None
+
+
+def test_anchor_multiple_h1_early_position():
+    # several h1s: anchor snaps to the last one inside the first 1/8 of
+    # the page (regexH proIndex rule, TimeUtil.java:519-543)
+    filler = "z" * 4000
+    html = (
+        "<html><body><h1>nav</h1><h1>real headline</h1>"
+        "<p>2019-06-18 near</p>" + filler + "<p>2018-01-01 far</p></body></html>"
+    )
+    assert date_from_html(html, None, REF) == "2019-06-18"
+
+
+def test_strong_anchor_fallback():
+    # no h tags, no title match -> <STRONG> anchors the position, but
+    # only a match inside the first 1/8 of the page sets proIndex;
+    # a single match beyond that anchors at position 10 (regexH quirk,
+    # TimeUtil.java:533-539)
+    filler = "z" * 2000  # pushes len/8 past the <strong> position
+    html = (
+        "<html><body><p>2017-01-01 above</p>"
+        "<strong>Headline</strong><p>2019-06-18 below</p>"
+        + filler + "</body></html>"
+    )
+    assert date_from_html(html, None, REF) == "2019-06-18"
+
+    # short page: <strong> at pos 35 > len/8 -> anchor = 0+10, so the
+    # earlier date (closest to position 10) wins -- quirk kept
+    html2 = (
+        "<html><body><p>2017-01-01 above</p>"
+        "<strong>Headline</strong><p>2019-06-18 below</p></body></html>"
+    )
+    assert date_from_html(html2, None, REF) == "2017-01-01"

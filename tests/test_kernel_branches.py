@@ -153,3 +153,42 @@ def test_accepted_image_outside_article_appended():
         assert r.spans[-1][2].endswith("photo_out.jpg")
     # text spans always precede the appended out-of-article image
     assert [s[0] for s in r.spans][:3] == ["text", "text", "text"]
+
+
+def test_high_scoring_sibling_joins_article():
+    def block(cls, word):
+        return (
+            f'<div class="{cls}">'
+            + "".join(
+                f"<p>{word}{i} lorem ipsum dolor sit, amet consectetur "
+                f"adipiscing elit sed do eiusmod.</p>"
+                for i in range(3)
+            )
+            + "</div>"
+        )
+
+    html = block("article content", "main") + block("text", "intro")
+    r = extract_document(html, base_uri=BASE)
+    texts = " ".join(s[1] for s in r.spans if s[0] == "text")
+    assert "main0" in texts and "intro0" in texts  # both blocks gathered
+
+
+def test_abs_url_cache_isolated_per_base():
+    # the memoized URL resolver must key on the document base
+    a = extract_document(
+        '<div class="article content"><p>alpha beta, gamma delta epsilon '
+        'zeta eta theta.</p>'
+        '<img src="pics/photo.jpg" width="640" height="420"></div>',
+        base_uri="http://site-a.example/2019-06/18/x.html",
+    )
+    b = extract_document(
+        '<div class="article content"><p>alpha beta, gamma delta epsilon '
+        'zeta eta theta.</p>'
+        '<img src="pics/photo.jpg" width="640" height="420"></div>',
+        base_uri="http://site-b.example/2019-06/18/x.html",
+    )
+    if a.images:
+        assert a.images[0].startswith("http://site-a.example/")
+    if b.images:
+        assert b.images[0].startswith("http://site-b.example/")
+    assert a.spans != b.spans or not a.images  # media_refs differ when accepted
