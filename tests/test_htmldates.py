@@ -175,3 +175,22 @@ def test_strong_anchor_fallback():
         "<strong>Headline</strong><p>2019-06-18 below</p></body></html>"
     )
     assert date_from_html(html2, None, REF) == "2017-01-01"
+
+
+def test_title_refinement_skips_anchor_tags():
+    # the title-position regex ignores <a>/<title> wrappers and anchors
+    # on the real container (TimeUtil.java:561-570)
+    html = (
+        "<html><body>"
+        '<a href="/x">My Story</a><p>2017-01-01 nav</p>'
+        + "q" * 500 +
+        "<div>My Story</div><p>2019-06-18 body</p></body></html>"
+    )
+    assert date_from_html(html, "My Story", REF) == "2019-06-18"
+
+
+def test_regex_metachar_title_survives():
+    # the reference interpolates the raw title into a regex and would
+    # crash on metachars; we treat the refinement as not-found
+    html = "<html><body><div>What?! (part 2)</div><p>2019-06-18</p></body></html>"
+    assert date_from_html(html, "What?! (part 2)", REF) == "2019-06-18"
