@@ -404,6 +404,92 @@ FROM events GROUP BY 1, 2
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity twin of the applyInPandasWithState sessionizer
+    (streaming/stream.py): gap sessionization is SQL-expressible, which
+    gives the stateful operator a driver-visible correctness row."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from readabilityimproved_spark.streaming.stream import (
+        sessionize_events_batch,
+    )
+
+    out = sessionize_events_batch(events, gap_minutes=_SESSION_GAP_MIN)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _oracle_sessionize_events() -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-checked: a media table constructed
+    from documents (payload = utf-8 text bytes, typed metadata) through
+    the Arrow-batched fake decoder; every compared column (n_bytes from
+    the payload, width/height parsed from the meta map, type cycling,
+    status) is DuckDB-computable. checksum/embedding are fake-decoder
+    internals (crc32-seeded) and excluded from the compare."""
+    from readabilityimproved_spark.operators.multimodal import (
+        decode_media_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("m://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        mtype.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("width"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit("height"), (F.col("doc_id") % 700).cast("string"),
+        ).alias("meta"),
+    )
+    return decode_media_features(media, mode="fake").select(
+        "media_ref", "media_type", "n_bytes", "width", "height", "status"
+    )
+
+
+def _oracle_media_features() -> str:
+    return """
+SELECT 'm://' || cast(doc_id as varchar) AS media_ref,
+       CASE cast(doc_id % 3 as int)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       cast(octet_length(encode(text)) as int) AS n_bytes,
+       cast(doc_id % 1000 as int) AS width,
+       cast(doc_id % 700 as int) AS height,
+       'ok-fake' AS status
+FROM documents
+"""
+
+
 _NEARDUP_THRESHOLD = 0.2
 
 
@@ -412,27 +498,58 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_neardup_pairs,
     )
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_THRESHOLD)
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=_NEARDUP_THRESHOLD,
+        tables=_NEARDUP_TABLES,
+        bits=_NEARDUP_BITS,
+        max_bucket_size=_NEARDUP_CAP,
+    )
+
+
+_NEARDUP_TABLES, _NEARDUP_BITS, _NEARDUP_CAP = 4, 16, 100
 
 
 def _oracle_embedding_neardup() -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)
+    from readabilityimproved_spark.operators.similarity import hyperplane_pairs
+
+    all_pairs = hyperplane_pairs(_NEARDUP_TABLES, _NEARDUP_BITS, 64)
+    bucket_selects = " UNION ALL ".join(
+        "SELECT vec_id AS id, {t} AS tbl, CAST({e} AS INT) AS bucket"
+        " FROM embeddings".format(
+            t=t,
+            e=" + ".join(
+                f"(CASE WHEN embedding[{p1 + 1}] - embedding[{p2 + 1}] >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i, (p1, p2) in enumerate(all_pairs[t])
+            ),
+        )
+        for t in range(_NEARDUP_TABLES)
     )
     return f"""
-WITH scaled AS (
-  SELECT vec_id, cast({bucket} as int) AS bucket,
+WITH buckets AS (
+  {bucket_selects}
+), capped AS (
+  SELECT id, tbl, bucket FROM (
+    SELECT id, tbl, bucket, count(*) OVER (PARTITION BY tbl, bucket) AS bsz
+    FROM buckets)
+  WHERE bsz <= {_NEARDUP_CAP}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b USING (tbl, bucket)
+  WHERE a.id < b.id
+), normed AS (
+  SELECT vec_id,
          [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
           for x in embedding] AS vec
   FROM embeddings
-), normed AS (
-  SELECT vec_id, bucket, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+), n2 AS (
+  SELECT vec_id, vec, list_dot_product(vec, vec) AS norm2 FROM normed
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT id_a, id_b,
        round(list_dot_product(a.vec, b.vec)
              / (sqrt(a.norm2) * sqrt(b.norm2)), 6) AS cosine
-FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand JOIN n2 a ON a.vec_id = id_a JOIN n2 b ON b.vec_id = id_b
 WHERE round(list_dot_product(a.vec, b.vec)
             / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= {_NEARDUP_THRESHOLD}
 """
@@ -440,9 +557,47 @@ WHERE round(list_dot_product(a.vec, b.vec)
 
 _IVF_CENTROIDS = 8
 _IVF_NPROBE = 2
+_IVF_ITERS = 2
+_IVF_SAMPLE_MOD = 5
+
+
+def _kmeans_iteration_ctes(i: int, prev: str) -> str:
+    """One unrolled Lloyd step: assign sample to nearest centroid by the
+    rounded-cosine ordering, recompute centroids as exact elementwise
+    floor(avg); empty clusters keep the previous centroid."""
+    return f"""
+cn{i} AS (
+  SELECT cent_id, cvec, list_dot_product(cvec, cvec) AS cnorm FROM {prev}
+), asg{i} AS (
+  SELECT vid, cent_id FROM (
+    SELECT s.vid, c.cent_id,
+           row_number() OVER (
+             PARTITION BY s.vid
+             ORDER BY round(list_dot_product(s.vec, c.cvec)
+                            / (sqrt(s.norm2) * sqrt(c.cnorm)), 6) DESC,
+                      c.cent_id ASC) AS r
+    FROM sample s CROSS JOIN cn{i} c)
+  WHERE r = 1
+), mean{i} AS (
+  SELECT cent_id, list(mval ORDER BY dim) AS mvec FROM (
+    SELECT cent_id, dim, CAST(floor(avg(x)) AS BIGINT) AS mval
+    FROM (SELECT a.cent_id, generate_subscripts(s.vec, 1) AS dim,
+                 unnest(s.vec) AS x
+          FROM asg{i} a JOIN sample s USING (vid))
+    GROUP BY cent_id, dim)
+  GROUP BY cent_id
+), cent{i} AS (
+  SELECT c.cent_id, COALESCE(m.mvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN mean{i} m USING (cent_id)
+)"""
 
 
 def _oracle_ivf_topk() -> str:
+    iter_ctes = ""
+    prev = "cent0"
+    for i in range(1, _IVF_ITERS + 1):
+        iter_ctes += "," + _kmeans_iteration_ctes(i, prev)
+        prev = f"cent{i}"
     return f"""
 WITH scaled AS (
   SELECT vec_id AS vid,
@@ -451,9 +606,14 @@ WITH scaled AS (
   FROM embeddings
 ), normed AS (
   SELECT vid, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
-), centroids AS (
-  SELECT vid AS cent_id, vec AS cvec, norm2 AS cnorm FROM normed
-  WHERE vid < {_IVF_CENTROIDS}
+), sample AS (
+  SELECT vid, vec, norm2 FROM normed WHERE vid % {_IVF_SAMPLE_MOD} = 0
+), cent0 AS (
+  SELECT r - 1 AS cent_id, cvec FROM (
+    SELECT row_number() OVER (ORDER BY vid) AS r, vec AS cvec FROM sample)
+  WHERE r <= {_IVF_CENTROIDS}
+){iter_ctes}, centroids AS (
+  SELECT cent_id, cvec, list_dot_product(cvec, cvec) AS cnorm FROM {prev}
 ), sims AS (
   SELECT n.vid, c.cent_id,
          round(list_dot_product(n.vec, c.cvec)
@@ -639,6 +799,129 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {fp})
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.1
 
+# --- portable-hash LSH oracles (operators/dedup.py with portable_hash=True:
+# base hash = 15-hex-char md5 slice, reproducible bit-exactly in DuckDB) ----
+
+_MINHASH_NUM, _MINHASH_BANDS, _MINHASH_CAP = 16, 4, 100
+_VERIFIED_THRESHOLD = 0.1
+
+
+def _md5slice(s: str) -> str:
+    """DuckDB rendering of the portable 60-bit hash (dedup._base_hash)."""
+    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+def _lsh_ctes() -> str:
+    """Shared CTE chain: tokens -> grams -> base hashes -> signatures ->
+    band buckets -> capped buckets -> candidate pairs (mirrors
+    minhash_lsh_pairs stage for stage)."""
+    from readabilityimproved_spark.operators.dedup import MINHASH_P, _uh_params
+
+    params = _uh_params(_MINHASH_NUM)
+    mh_cols = ",\n         ".join(
+        f"list_min([(x * {a} + {b}) % {MINHASH_P} for x in hb]) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = _MINHASH_NUM // _MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {h} AS bucket FROM sig".format(
+            band=b,
+            h=_md5slice(
+                " || '_' || ".join(
+                    f"mh{b * rows_per_band + r}::VARCHAR"
+                    for r in range(rows_per_band)
+                )
+            ),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_JACCARD_N}
+              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)]
+              ELSE [] END AS g
+  FROM toks
+), hb AS (
+  SELECT doc_id, [{_md5slice('s')} % {MINHASH_P} for s in g] AS hb
+  FROM grams WHERE len(g) > 0
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hb
+), buckets AS (
+  {band_selects}
+), capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM buckets)
+  WHERE bsz <= {_MINHASH_CAP}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(DISTINCT a.band) AS matching_bands
+  FROM capped a JOIN capped b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return _lsh_ctes() + "\nSELECT id_a, id_b, matching_bands FROM pairs"
+
+
+def _minhash_verified_oracle() -> str:
+    return (
+        _lsh_ctes()
+        + f"""
+, sh AS (
+  SELECT DISTINCT doc_id, unnest(g) AS shingle FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM pairs c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6)
+      >= {_VERIFIED_THRESHOLD}
+"""
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(63)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(63)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT id, {_md5slice('tok')} AS h FROM toks
+), bits AS (
+  SELECT id,
+         {bit_sums}
+  FROM h GROUP BY id
+)
+SELECT id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+"""
+
 
 def _ngram_jaccard_oracle() -> str:
     return f"""
@@ -736,14 +1019,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup tier ---------------------------------------------------
         "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
         "dedup_keep_first": lambda spark, sf: dedup_keep_first(_docs(spark, sf)),
+        # portable_hash=True (md5-slice) so the LSH family is DuckDB-
+        # hash-checkable; production default stays xxhash64
         "minhash_verified": lambda spark, sf: minhash_verified_pairs(
-            _docs(spark, sf), threshold=0.1
+            _docs(spark, sf), threshold=_VERIFIED_THRESHOLD, portable_hash=True
         ),
         "ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
             _docs(spark, sf), n=_JACCARD_N, threshold=_JACCARD_THRESHOLD
         ),
-        "minhash_lsh": lambda spark, sf: minhash_lsh_pairs(_docs(spark, sf)),
-        "simhash": lambda spark, sf: simhash64(_docs(spark, sf)),
+        "minhash_lsh": lambda spark, sf: minhash_lsh_pairs(
+            _docs(spark, sf), portable_hash=True
+        ),
+        "simhash": lambda spark, sf: simhash64(_docs(spark, sf), portable_hash=True),
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -755,9 +1042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": lambda spark, sf: ivf_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES,
             num_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+            kmeans_iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD,
         ),
         # --- relational / streaming-parity tier ---------------------------
         "event_window_agg": q_event_window_agg,
+        "sessionize_events": q_sessionize_events,
+        # --- multimodal tier ------------------------------------------------
+        "media_features": q_media_features,
     }
 
 
@@ -774,6 +1065,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _oracle_embedding_neardup(),
         "similarity_ivf": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
+        "sessionize_events": _oracle_sessionize_events(),
+        "media_features": _oracle_media_features(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),
@@ -788,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
-        # minhash_lsh / simhash / similarity_ann_lsh: xxhash64-based,
-        # not reproducible in DuckDB -> rows-only checks
+        "minhash_lsh": _minhash_lsh_oracle(),
+        "minhash_verified": _minhash_verified_oracle(),
+        "simhash": _simhash_oracle(),
     }

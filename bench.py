@@ -63,25 +63,29 @@ def ensure_corpus(spark) -> None:
         df.repartition(_BENCH_FILES).write.mode("overwrite").parquet(CORPUS)
 
 
-def timed_extraction(spark, runs: int = 3) -> tuple[float, int]:
-    """Best-of-runs wall time for the scan->mapInPandas extraction."""
+def timed_extraction(spark, runs: int = 3) -> tuple[float, float, int]:
+    """(cold_first_run, best_of_runs, n): the cold number is what a
+    fresh job pays (worker spawn + page cache); the driver's own
+    measurement is cold, so both are published to keep BENCH honest."""
     from readabilityimproved_spark.operators.extract import extract_spans
 
     docs = spark.read.parquet(CORPUS)
     out = extract_spans(docs)
-    n = out.count()  # warm python workers + page cache
-    best = float("inf")
+    t0 = time.time()
+    n = out.count()
+    cold = time.time() - t0
+    best = cold
     for _ in range(runs):
         t0 = time.time()
         out.count()
         best = min(best, time.time() - t0)
-    return best, n
+    return cold, best, n
 
 
 def scale_phase(cores: int) -> None:
     spark = build(cores)
     ensure_corpus(spark)
-    sec, n = timed_extraction(spark)
+    _, sec, n = timed_extraction(spark)
     print(json.dumps({"cores": cores, "sec": sec, "docs": n}))
     spark.stop()
 
@@ -107,10 +111,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: full-width extraction + operator queries ---------------
+    # every timing in `queries` is a COLD single run (what the driver's
+    # own per-round measurement sees); warm best-of-3 goes in `warm`
     spark = build(CPUS)
     ensure_corpus(spark)
-    sec_full, n_full = timed_extraction(spark)
-    timings["q_extract_kernel"] = round(sec_full, 3)
+    sec_cold, sec_full, n_full = timed_extraction(spark)
+    timings["q_extract_kernel"] = round(sec_cold, 3)
+    warm = {"q_extract_kernel": round(sec_full, 3)}
 
     spec = importlib.util.spec_from_file_location(
         "spark_entry", os.path.join(os.path.dirname(__file__), "__spark_entry__.py")
@@ -129,6 +136,9 @@ def main() -> None:
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
         timings[f"q_{name}"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        queries[name](spark, SF_DIR).count()
+        warm[f"q_{name}"] = round(time.time() - t0, 3)
     spark.stop()
 
     # --- scaling: pinned N=2 vs 4N=8 subprocesses --------------------------
@@ -143,9 +153,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "warm": warm,
         "sf": SF,
         "bench_docs": N_DOCS,
         "docs_per_sec": round(n_full / sec_full, 1),
+        "docs_per_sec_cold": round(n_full / sec_cold, 1),
         "scaling": {
             "proxy": "cpu-pinned subprocesses (taskset), N=2 vs 4N=8 cores",
             "cores_small": SCALE_SMALL,
@@ -158,6 +170,79 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+    if "--write-md" in sys.argv:
+        write_md(result)
+
+
+def write_md(result: dict) -> None:
+    """Render BENCH/BASELINE.md FROM the measured JSON so the published
+    table cannot drift from what the driver measures (VERDICT r1 #5)."""
+    q, wm, sc = result["queries"], result["warm"], result["scaling"]
+    rows = "\n".join(
+        f"| {name} | {q[name]} | {wm.get(name, '--')} |" for name in sorted(q)
+    )
+    md = f"""# BENCH — measured baseline (generated by `python bench.py --write-md`)
+
+Host: 32 physical cores (1 thread/core), 128 GiB, local[*] single-JVM.
+Corpus: deterministic synth (sources/synth.py), {result['bench_docs']:,}
+interleaved text+media documents at sf{result['sf']} (~1% giant docs), 64
+round-robin parquet files so byte-based file splits spread giants
+without a shuffle.
+
+## Headline throughput (full extraction kernel, scan -> mapInPandas)
+
+| config | docs/sec |
+|---|---|
+| local[{sc['full_width_cores']}] cold first run (what the driver measures) | **{result['docs_per_sec_cold']:,}** |
+| local[{sc['full_width_cores']}] warm best-of-3 | {result['docs_per_sec']:,} |
+
+Host throughput jitters +/-15% run-to-run.
+
+## Per-query timings (local[{sc['full_width_cores']}], sf{result['sf']})
+
+| query | cold first run (s) | warm (s) |
+|---|---|---|
+{rows}
+
+Total cold bench wall: **{result['value']} s**.
+
+## Scaling efficiency (north rule: >=0.8 from N to 4N executors)
+
+Sandbox proxy: identical job + identical input in **CPU-pinned
+subprocesses** (`taskset`) — each pinned set gets a memory-bandwidth
+share proportional to its size, which is what distinguishes "4N
+executors on 4 hosts" from "4N threads on one host". (An un-pinned
+8 -> 32 comparison on one box measures the host's RAM bandwidth: the
+pure-Python multiprocessing ceiling here is itself ~0.80.)
+
+| proxy | docs/sec |
+|---|---|
+| N = {sc['cores_small']} pinned cores | {sc['docs_per_sec_small']:,} |
+| 4N = {sc['cores_large']} pinned cores | {sc['docs_per_sec_large']:,} |
+| **efficiency** | **{sc['efficiency']}** (target >= 0.8) |
+
+## Plan-quality checks (`.explain("formatted")`, enforced by tests/test_plan_quality.py)
+
+* flagship: parquet scan reads only `doc_id,text` (column pruning at the
+  scan), page construction + explode in WholeStageCodegen, single
+  MapInPandas, zero shuffles;
+* extraction job: scan -> MapInPandas, no shuffle; skew handled by
+  byte-based file splits (cost ~ bytes), hash/round-robin salting
+  fallback for adversarial layouts;
+* minhash LSH: signatures computed per-row (array_min over in-row gram
+  hashes — no explode, no distinct, no shuffle before the fixed-width
+  band-bucket table); hot buckets capped by a window count;
+* similarity: query side broadcast, corpus side never shuffles before
+  the final windowed top-k; near-dup candidates bounded by the
+  per-bucket cap across 4 independent 16-bit hyperplane tables.
+
+Reproduce: `python bench.py [--write-md]` (env: `SPARK_GRAFT_SF_DIR`,
+`SPARK_GRAFT_CPUS`).
+"""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
 
 
 if __name__ == "__main__":

@@ -58,7 +58,13 @@ BLOCK_ELEMENTS = frozenset(
     "tr ul".split()
 )
 
-_WS_RUN = re.compile(r"\s+")
+# jsoup normalises only ASCII whitespace (StringUtil.isWhitespace: space,
+# \t, \n, \f, \r) and Java String.trim() strips chars <= U+0020 -- \xa0
+# (&nbsp;) and unicode spaces are NOT whitespace to the reference, so a
+# Python \s+ here would shift innerText lengths (the 25-char gate, the
+# len//100 bonus, the 80-char sibling rules) on nbsp-heavy pages
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+_JTRIM = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
 
 
 class TextNode:
@@ -233,7 +239,7 @@ class Element:
                         parts.append(" ")
 
         walk(self)
-        value = _WS_RUN.sub(" ", "".join(parts)).strip()
+        value = _JTRIM.sub("", _WS_RUN.sub(" ", "".join(parts)))
         self._text_cache = (key, value)
         return value
 

@@ -54,16 +54,23 @@ F025 = float(np.float32(0.25))
 F033 = float(np.float32(0.33))
 F05 = float(np.float32(0.5))
 
-_BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>\s*<p")
-_WS_RUN = re.compile(r"\s+")
+_BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCII
+# ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+_JTRIM = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
 _DIV_TO_P_TAGS = frozenset(
     ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
 )
 
 
 def _f32_mul(a: float, b: float) -> float:
-    """Java ``float * float`` (used for the 0.2f sibling threshold)."""
-    return float(np.float32(a) * np.float32(b))
+    """Java ``float * float`` (sibling threshold 0.2f, C8 scale multiply).
+
+    errstate: 0 * inf -> NaN must propagate silently (Java arithmetic
+    never warns); jint() then maps NaN -> 0 like the (int) cast.
+    """
+    with np.errstate(invalid="ignore", over="ignore"):
+        return float(np.float32(a) * np.float32(b))
 
 
 # --------------------------------------------------------------------------
@@ -84,8 +91,16 @@ def inc_content_score(node: Element, increment: int) -> None:
 
 
 def scale_content_score(node: Element, scale: float) -> None:
-    """score = (int)(score * scale); NaN scale -> 0 (Java cast semantics)."""
-    node.set_attr(CONTENT_SCORE, str(jint(get_content_score(node) * scale)))
+    """score = (int)(score * scale); NaN scale -> 0 (Java cast semantics).
+
+    ``contentScore *= scale`` with float scale (Readability.java:805-807)
+    promotes the int to FLOAT32 and multiplies in float32 before the int
+    narrowing -- float64 here produces +/-1 divergences (e.g. density
+    1/3) that can flip the C9 argmax.
+    """
+    node.set_attr(
+        CONTENT_SCORE, str(jint(_f32_mul(get_content_score(node), scale)))
+    )
 
 
 def get_img_score(node: Element | None) -> int:
@@ -127,13 +142,31 @@ def get_char_count(e: Element, s: str = ",") -> int:
 
 
 def get_link_density(e: Element) -> float:
-    """C7: link text length / total text length; 0/0 -> NaN, x/0 -> Inf."""
+    """C7: link text length / total text length; 0/0 -> NaN, x/0 -> Inf.
+
+    Java computes this ENTIRELY in float32 (``float linkLength += int``
+    accumulation, then ``linkLength / textLength`` float division,
+    Readability.java:509-517) -- e.g. density 1/3 is 0.33333334f, not
+    0.3333333333333333; the downstream 0.2f/0.25f/0.33f comparisons and
+    the C8 scale multiply see the float32 value.
+
+    Fast path: int accumulation is exact in float32 while the running sum
+    stays under 2^24, so the numpy-per-add loop only runs for pathological
+    link volumes; the final division is rounded to float32 once.
+    """
     links = elements_by_tag(e, "a")
     text_length = len(get_inner_text(e, True))
-    link_length = 0.0
+    link_length = 0
     for link in links:
         link_length += len(get_inner_text(link, True))
-    return jfloat_div(link_length, float(text_length))
+    if link_length >= (1 << 24):  # float32 adds may round: replay faithfully
+        acc = np.float32(0.0)
+        for link in links:
+            acc = np.float32(acc + np.float32(len(get_inner_text(link, True))))
+        link_length = acc
+    if text_length == 0:
+        return jfloat_div(float(link_length), 0.0)
+    return float(np.float32(link_length) / np.float32(text_length))
 
 
 def get_class_weight(e: Element, variant: P.Variant) -> int:
@@ -294,7 +327,11 @@ class ReadabilityKernel:
         # C8 link-density scaling + C9 argmax (first strict max wins)
         top_candidate: Element | None = None
         for candidate in candidates:
-            scale_content_score(candidate, 1.0 - get_link_density(candidate))
+            # Java: `1 - getLinkDensity(c)` is a float32 subtraction
+            # (Readability.java:382); double subtraction then a single
+            # float32 rounding can double-round at ULP edges
+            scale = float(np.float32(1.0) - np.float32(get_link_density(candidate)))
+            scale_content_score(candidate, scale)
             if top_candidate is None or get_content_score(candidate) > get_content_score(
                 top_candidate
             ):
@@ -900,7 +937,7 @@ def _emit_spans(
 
     def flush() -> None:
         if parts:
-            txt = _WS_RUN.sub(" ", "".join(parts)).strip()
+            txt = _JTRIM.sub("", _WS_RUN.sub(" ", "".join(parts)))
             parts.clear()
             if txt:
                 out.append(("text", txt, None))

@@ -4,16 +4,24 @@ All Spark-native (built-in functions only -- no Python in the hot path):
 
   * exact_dedup        -- md5-fingerprint groupBy (exact duplicates)
   * ngram_jaccard_pairs-- word-shingle explode + self-join + Jaccard
-  * minhash_lsh_pairs  -- minhash signatures via xxhash64, banded LSH
-                          bucket join, candidate pairs (+ optional exact
-                          Jaccard verification of candidates)
-  * simhash64          -- 64-bit simhash from token xxhash64 bit-majority
+  * minhash_lsh_pairs  -- per-row minhash signatures (one base hash per
+                          shingle + a universal-hash family, evaluated
+                          with transform/array_min: NO shuffle before
+                          the fixed-width band-bucket table), banded LSH
+                          bucket join with a window-count hot-bucket cap
+  * minhash_verified_pairs -- LSH candidates + exact Jaccard verification
+                          of candidate docs only
+  * simhash64          -- 64-bit simhash from token-hash bit-majority
 
-Scale notes: the shingle self-join shuffles on the shingle key -- at
-10^12 docs use minhash_lsh_pairs (signatures are fixed-width, the
-band-bucket join touches only colliding docs) and let AQE's skew join
-split hot buckets (stopword shingles are the classic skew source; the
-DISTINCT shingle step bounds per-doc fanout first).
+Every hash takes ``portable_hash=True`` to swap xxhash64 (production
+default) for a 15-hex md5 slice that DuckDB reproduces bit-exactly --
+that is what makes the LSH family oracle-checkable by the driver.
+
+Scale notes: the all-pairs shingle self-join (ngram_jaccard_pairs)
+shuffles on the shingle key -- at 10^12 docs use minhash_verified_pairs:
+signature computation is a pure map, the only wide ops touch the
+(id, band, bucket) table, and the verification explodes shingles for
+candidate docs only.
 """
 
 from __future__ import annotations
@@ -42,15 +50,53 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _bind(expr: "F.Column", fn) -> "F.Column":
+    """Evaluate ``expr`` ONCE per row and pass the value to ``fn`` as a
+    lambda variable (1-element array transform). Without this, every
+    textual reference to ``expr`` inside a lambda is re-evaluated per
+    array ELEMENT -- e.g. element_at(split(text), i) re-tokenizes the
+    whole document for every shingle, turning gram construction O(len^2)
+    (measured: 6s of an 8s signature stage at sf0.1)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _gram_array(text_col: str, n: int) -> "F.Column":
+    """Word n-gram shingles of a text column as array<string>.
+
+    Built from ``n`` shifted slices of the token array zipped with
+    concat: the text is split exactly once per row (see _bind), not once
+    per gram. Documents with fewer than ``n`` tokens yield an EMPTY
+    array: without the guard, slice lengths go non-positive and the job
+    dies on any corpus containing short/empty docs.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def grams_from(t):
+        m = F.size(t) - (n - 1)
+        acc = F.slice(t, 1, m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc,
+                F.slice(t, 1 + j, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return acc
+
+    return _bind(
+        tokens,
+        lambda t: F.when(F.size(t) >= n, grams_from(t)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per document (id, shingle)."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)]),
-    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_gram_array(text_col, n)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -101,20 +147,123 @@ def dedup_keep_first(
     return df.join(reps, id_col, "left_semi")
 
 
+#: universal-hash modulus (Mersenne prime 2^31-1): keeps every
+#: a*h+b product inside int64 with no overflow in either engine
+MINHASH_P = (1 << 31) - 1
+
+
+def _uh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod P -- derived from md5 so the DuckDB
+    oracle can regenerate the identical constants."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _base_hash(col, portable: bool):
+    """64-bit base hash of a string column, reduced mod MINHASH_P.
+
+    portable=False: xxhash64 (JVM-native, the production default).
+    portable=True:  15-hex-char slice of md5 -- bit-identical in DuckDB
+    (``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)``), which is what
+    lets the driver hash-check the LSH operators against an oracle.
+    """
+    if portable:
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(col)
+    return F.pmod(h, F.lit(MINHASH_P))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """MinHash signature per doc: num_hashes seeded xxhash64 minima."""
-    sh = _shingles(df, id_col, text_col, shingle_n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*mins)
+    """MinHash signature per doc, computed entirely per-row.
+
+    One base hash per shingle + a universal-hash family for the
+    ``num_hashes`` slots, evaluated with ``transform``/``array_min`` over
+    the in-row gram array: NO explode, NO distinct, NO shuffle -- the
+    signature stage is a pure map, so at 10^12 docs nothing moves until
+    the (fixed-width) band-bucket join. Min over duplicated shingles
+    equals min over the distinct set, so skipping DISTINCT is exact.
+    Docs with zero shingles (< shingle_n tokens) are dropped, matching
+    the explode-based formulation.
+    """
+    params = _uh_params(num_hashes)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), _gram_array(text_col, shingle_n).alias("_g")
+        )
+        .filter(F.size("_g") > 0)
+        .withColumn(
+            "_hb", F.transform(F.col("_g"), lambda s: _base_hash(s, portable_hash))
+        )
+        # single pass over the base hashes: running elementwise min of all
+        # num_hashes universal hashes at once (vs num_hashes array_min sweeps)
+        .withColumn(
+            "_sig",
+            F.aggregate(
+                F.col("_hb"),
+                F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    F.array(*[(h * a + b) % MINHASH_P for a, b in params]),
+                    lambda x, y: F.least(x, y),
+                ),
+            ),
+        )
+    )
+    return base.select(
+        "id",
+        *[F.element_at("_sig", i + 1).alias(f"mh{i}") for i in range(num_hashes)],
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) rows: one per band per doc (narrow map +
+    a ``bands``-wide explode -- still shuffle-free)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, portable_hash
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable_hash:
+            bucket = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            bucket = F.xxhash64(*cols)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs(
@@ -125,6 +274,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 100,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -132,31 +282,33 @@ def minhash_lsh_pairs(
     docs sharing any band bucket become a candidate pair. Emitted once
     (id_a < id_b) with the number of matching bands.
 
+    The only shuffles in the plan are on the (id, band, bucket) table --
+    3 fixed-width columns regardless of document size; signatures are
+    computed per-row upstream (see minhash_signatures).
+
     Hot-bucket capping: buckets larger than ``max_bucket_size`` are
     dropped before the self-join. On low-entropy corpora (and at 10^12
     docs, inevitably) some band buckets collect an outsized share of
     documents; such buckets carry no near-dup signal but cost O(B^2)
     pairs -- capping bounds the join output to
     buckets * max_bucket_size^2 (the standard production LSH guard).
+    The cap is applied as a WINDOW count over (band, bucket) rather than
+    a groupBy+join-back: one shuffle, no second pass over ``buckets``,
+    and the self-join that follows shuffles on the same key so AQE
+    reuses the exchange. (A broadcast of the surviving-bucket list would
+    NOT survive 10^12 docs -- that list is O(corpus).)
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    small_buckets = (
-        buckets.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .select("band", "bucket")
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, portable_hash
     )
-    buckets = buckets.join(small_buckets, ["band", "bucket"])
+    w = Window.partitionBy("band", "bucket")
+    buckets = (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     return (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
@@ -174,15 +326,26 @@ def minhash_verified_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """The scale path end-to-end: LSH candidate generation followed by
     exact Jaccard verification of ONLY the candidate pairs. At 10^12 docs
-    this replaces the all-pairs shingle self-join; the verification join
-    touches candidate docs only."""
+    this replaces the all-pairs shingle self-join: shingles are exploded
+    for CANDIDATE DOCS ONLY (left-semi against the candidate-id list,
+    whose size is bounded by buckets * max_bucket_size^2 from the LSH
+    cap), and that small shingle table is persisted so the counts + two
+    verification joins evaluate it once instead of three times."""
     candidates = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        portable_hash=portable_hash,
     ).select("id_a", "id_b")
-    sh = _shingles(df, id_col, text_col, shingle_n)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    sh = _shingles(cand_docs, id_col, text_col, shingle_n).persist()
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         candidates.join(sh.alias("a"), candidates["id_a"] == F.col("a.id"))
@@ -212,16 +375,29 @@ def minhash_verified_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, bitwise majority vote.
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """64-bit SimHash: per-token hash, bitwise majority vote.
 
     One explode + one groupBy with 64 conditional sums -- stays entirely
-    in whole-stage codegen.
+    in whole-stage codegen. portable_hash=True swaps xxhash64 for the
+    md5-slice hash (60 effective bits; bits 60-62 then sum to negative
+    and stay 0) so a DuckDB oracle can reproduce the value exactly.
     """
+    if portable_hash:
+        tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        tok_hash = F.xxhash64("tok")
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)

@@ -20,6 +20,7 @@ whole partition.
 from __future__ import annotations
 
 import datetime as dt
+import html
 from collections.abc import Iterator
 from functools import partial
 
@@ -52,7 +53,9 @@ def reconstruct_html(spans: list[dict]) -> str:
         kind = span.get("kind")
         if kind == "image":
             ref = span.get("media_ref") or ""
-            parts.append(f'<img src="{ref}">')
+            # escape the attribute value: a '"' or '>' inside the ref would
+            # otherwise truncate the tag and silently distort extraction
+            parts.append(f'<img src="{html.escape(ref, quote=True)}">')
         else:
             parts.append(span.get("text") or "")
     return "".join(parts)

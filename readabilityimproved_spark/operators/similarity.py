@@ -8,6 +8,12 @@
                         leading dimensions; top-k within the query's
                         bucket only. Recall < 1 by design; at 10^12 rows
                         the bucket join replaces the full scan.
+  * kmeans_centroids / ivf_topk -- deterministic sampled Lloyd's k-means
+                        (exact integer arithmetic, DuckDB-reproducible)
+                        feeding IVF cluster-probed search.
+  * embedding_neardup_pairs -- banded multi-table hyperplane LSH
+                        (4 x 16-bit default) with a per-bucket size cap
+                        bounding the self-join.
 
 Determinism across engines (the DuckDB oracle must hash-match): floats
 are scaled to integers with floor(x*1000 + 0.5) before the dot product,
@@ -129,34 +135,120 @@ def ann_bucketed_topk(
     )
 
 
-def ivf_topk(
+def kmeans_centroids(
     embeddings: DataFrame,
-    k: int = 5,
-    num_queries: int = 10,
     num_centroids: int = 8,
-    nprobe: int = 2,
+    iters: int = 2,
+    sample_mod: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid, then
-    each query probes only its ``nprobe`` nearest clusters.
+    """Deterministic sampled Lloyd's k-means over the SCALED-INT vectors:
+    (cent_id, cvec, cnorm), reproducible bit-exactly in DuckDB.
 
-    Centroids here are the first ``num_centroids`` vectors (deterministic
-    seeds; a production build would k-means a sample offline -- the
-    dataflow is identical). At 10^12 rows the cluster assignment is one
-    broadcast-join map and the search touches nprobe/num_centroids of
-    the corpus.
+    * sample: ``vec_id % sample_mod == 0`` (at 10^12 rows swap for a
+      hash-mod sample; id-mod keeps the oracle SQL-expressible);
+    * init: the first ``num_centroids`` sample vectors in id order;
+    * ``iters`` unrolled Lloyd steps: assign each sample vector to its
+      nearest centroid by the same rounded-cosine ordering the search
+      uses, recompute each centroid as the elementwise
+      ``floor(avg(component))`` (sums stay < 2^52, so the double mean is
+      exact and floor() agrees across engines); empty clusters keep
+      their previous centroid;
+    * everything downstream of the (small) sample is exact integer /
+      correctly-rounded-double arithmetic => Spark and the DuckDB oracle
+      produce identical centroids, assignments and top-k.
     """
     scaled = _with_scaled(
         embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
     ).select("vid", "vec", "norm2")
-    centroids = (
-        scaled.filter(F.col("vid") < num_centroids)
-        .select(
-            F.col("vid").alias("cent_id"),
-            F.col("vec").alias("cvec"),
-            F.col("norm2").alias("cnorm"),
+    sample = scaled.filter(F.col("vid") % sample_mod == 0)
+    w0 = Window.orderBy("vid")
+    cent = (
+        sample.withColumn("cent_id", F.row_number().over(w0) - 1)
+        .filter(F.col("cent_id") < num_centroids)
+        .select("cent_id", F.col("vec").alias("cvec"))
+    )
+    for _ in range(iters):
+        cent_n = cent.withColumn("cnorm", F.expr(_NORM2.format(a="cvec")))
+        sims = (
+            sample.crossJoin(F.broadcast(cent_n))
+            .withColumn("cdot", F.expr(_DOT.format(a="vec", b="cvec")))
+            .withColumn(
+                "csim",
+                F.round(
+                    F.col("cdot")
+                    / (
+                        F.sqrt(F.col("norm2").cast("double"))
+                        * F.sqrt(F.col("cnorm").cast("double"))
+                    ),
+                    6,
+                ),
+            )
         )
+        wv = Window.partitionBy("vid").orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        asg = (
+            sims.withColumn("r", F.row_number().over(wv))
+            .filter(F.col("r") == 1)
+            .select("vid", "cent_id")
+        )
+        means = (
+            asg.join(sample, "vid")
+            .select("cent_id", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.floor(F.avg("x")).cast("long").alias("mval"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("mvec")
+            )
+        )
+        cent = (
+            cent.join(means, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec"),
+            )
+        )
+    return cent.withColumn("cnorm", F.expr(_NORM2.format(a="cvec")))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    num_centroids: int | None = 8,
+    nprobe: int = 2,
+    kmeans_iters: int = 2,
+    sample_mod: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means centroids from a deterministic sample, assign
+    every vector to its nearest centroid, then each query probes only
+    its ``nprobe`` nearest clusters.
+
+    ``num_centroids=None`` defaults to ~sqrt(N) (one count job), the
+    standard IVF sizing -- at 10^12 rows that is ~10^6 clusters, keeping
+    both the centroid broadcast (~10^6 * dim ints) and the per-cluster
+    list (~10^6 vectors) tractable; the search then touches
+    nprobe/num_centroids of the corpus. The cluster assignment is one
+    broadcast-join map over the corpus -- the corpus itself never
+    shuffles on vectors.
+    """
+    import math
+
+    if num_centroids is None:
+        num_centroids = max(2, int(math.isqrt(embeddings.count())))
+    scaled = _with_scaled(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
+    ).select("vid", "vec", "norm2")
+    centroids = kmeans_centroids(
+        embeddings, num_centroids, kmeans_iters, sample_mod, id_col, emb_col
     )
 
     def nearest(df, n, out_name):
@@ -233,35 +325,109 @@ def ivf_topk(
     )
 
 
+def hyperplane_pairs(tables: int, bits: int, dim: int) -> list[list[tuple[int, int]]]:
+    """Deterministic sparse-hyperplane index pairs: table t, bit i tests
+    sign(e[p1] - e[p2]). The (17 + t) stride is coprime-ish to dim=64 and
+    never 0 mod dim for small t, so p1 != p2 always; different tables use
+    disjoint phase offsets so their bits are distinct projections."""
+    out = []
+    for t in range(tables):
+        row = []
+        for i in range(bits):
+            p1 = (t * bits + i) % dim
+            p2 = (t * bits + i + 17 + t) % dim
+            assert p1 != p2
+            row.append((p1, p2))
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(emb_col: str, pairs: list[tuple[int, int]]) -> F.Column:
+    """LSH bucket id for one table: bits-wide sign pattern of the
+    hyperplane projections. Sign of (float - float) is exact, so Spark
+    and DuckDB agree bit-for-bit on every bucket id."""
+    expr = " + ".join(
+        f"(CASE WHEN element_at({emb_col}, {p1 + 1})"
+        f" - element_at({emb_col}, {p2 + 1}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, (p1, p2) in enumerate(pairs)
+    )
+    return F.expr(f"cast({expr} as int)")
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    tables: int = 4,
+    bits: int = 16,
+    dim: int = 64,
+    max_bucket_size: int = 100,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the sign-bucket LSH."""
-    bucketed = _with_scaled(
-        embeddings.withColumn("bucket", sign_bucket(emb_col, bits)).select(
-            F.col(id_col).alias("id"), "bucket", emb_col
+    """Embedding-cosine near-duplicate pairs via banded multi-table
+    hyperplane LSH.
+
+    Scale design (the single 8-bit sign bucket this replaces was a
+    scale-killer: 256 buckets -> O(n^2/256) self-join pairs at 10^12
+    rows):
+
+    * ``tables`` independent ``bits``-wide hyperplane sketches; a pair is
+      a candidate if it collides in ANY table (banding: recall compounds
+      across tables, precision comes from the 2^bits bucket space);
+    * hot buckets larger than ``max_bucket_size`` are dropped via a
+      window count BEFORE the self-join (same guard as
+      dedup.minhash_lsh_pairs), so join output is bounded by
+      tables * buckets * max_bucket_size^2;
+    * the bucket table is 3 narrow columns (id, tbl, bucket) -- vectors
+      do NOT travel through the LSH shuffle; candidate pairs (small by
+      the cap bound) are joined back to the vector table, and Catalyst/
+      AQE broadcasts the candidate side so the corpus never shuffles.
+    """
+    from pyspark.sql import Window
+
+    all_pairs = hyperplane_pairs(tables, bits, dim)
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(emb_col, all_pairs[t]).alias("bucket"),
         )
-    ).select("id", "bucket", "vec", "norm2")
-    return (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
+        for t in range(tables)
+    ]
+    buckets = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*bucket_structs)).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    w = Window.partitionBy("tbl", "bucket")
+    capped = (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("dot", F.expr(_DOT.format(a="a.vec", b="b.vec")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # dedupe across tables before computing any cosine
+    )
+    vecs = _with_scaled(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
+    ).select("vid", "vec", "norm2")
+    return (
+        cand.join(vecs.alias("va"), cand["id_a"] == F.col("va.vid"))
+        .join(vecs.alias("vb"), cand["id_b"] == F.col("vb.vid"))
+        .withColumn("dot", F.expr(_DOT.format(a="va.vec", b="vb.vec")))
         .withColumn(
             "cosine",
             F.round(
                 F.col("dot")
                 / (
-                    F.sqrt(F.col("a.norm2").cast("double"))
-                    * F.sqrt(F.col("b.norm2").cast("double"))
+                    F.sqrt(F.col("va.norm2").cast("double"))
+                    * F.sqrt(F.col("vb.norm2").cast("double"))
                 ),
                 6,
             ),
         )
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

@@ -18,11 +18,15 @@ import re
 
 I = re.IGNORECASE
 
+#: Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python \s matches
+#: unicode whitespace (\xa0, 　) and would over-match on nbsp pages
+JS = r"[ \t\n\x0B\f\r]"
+
 # --- shared string-rewrite regexes (Readability.java:701-706) -------------
 REGEX_REPLACE_BRS = re.compile(r"(<br[^>]*>[ \n\r\t]*){2,}", I)
 REGEX_REPLACE_FONTS = re.compile(r"<(\/?)font[^>]*>", I)
-REGEX_NORMALIZE = re.compile(r"\s{2,}")
-REGEX_KILL_BREAKS = re.compile(r"(<br\s*\/?>(\s|&nbsp;?)*){1,}")
+REGEX_NORMALIZE = re.compile(JS + r"{2,}")
+REGEX_KILL_BREAKS = re.compile(r"(<br" + JS + r"*\/?>(" + JS + r"|&nbsp;?)*){1,}")
 
 # --- text variant (Readability.java:712-767) ------------------------------
 UNLIKELY_CANDIDATES_TEXT = re.compile(
@@ -56,8 +60,10 @@ DIV_TO_P_ELEMENTS = re.compile(r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)", 
 VIDEO = re.compile(r"http:\/\/(www\.)?(youtube|vimeo)\.com", I)
 
 # --- image scoring regexes (ReadabilityForImg.java:1415-1453) ---------------
-IMGPARENT_CANDIDATES = re.compile(r"center|text-align(\s)?:(\s)?center", I)
-IMG_UNLIKELY_CANDIDATES = re.compile(r"display(\s)?:(\s)?none", I)
+IMGPARENT_CANDIDATES = re.compile(
+    r"center|text-align(" + JS + r")?:(" + JS + r")?center", I
+)
+IMG_UNLIKELY_CANDIDATES = re.compile(r"display(" + JS + r")?:(" + JS + r")?none", I)
 POSITIVE_IMG = re.compile(
     r"article|body|content|entry|hentry|image-container|main|news|page|photo|post|text",
     I,
@@ -75,8 +81,12 @@ REMOVE_IMG = re.compile(
 )
 
 # width/height style attribute parsing (ReadabilityForImg.java:286-311)
-STYLE_WIDTH = re.compile(r"width(\s)?:(\s)?[0-9]+(([pP][xX])|%)?;", I)
-STYLE_HEIGHT = re.compile(r"height(\s)?:(\s)?[0-9]+(([pP][xX])|%)?;", I)
+STYLE_WIDTH = re.compile(
+    r"width(" + JS + r")?:(" + JS + r")?[0-9]+(([pP][xX])|%)?;", I
+)
+STYLE_HEIGHT = re.compile(
+    r"height(" + JS + r")?:(" + JS + r")?[0-9]+(([pP][xX])|%)?;", I
+)
 DIGITS = re.compile(r"[0-9]+")
 PX_UNIT = re.compile(r"[pP][xX]")
 

@@ -8,11 +8,15 @@ handling, checkpoint/resume):
   written as a parquet partition column) so both the resume filter and
   the wave filter become **partition-pruned scans** — at 10^12 docs a
   resume touches only unfinished partitions' files;
-* work proceeds in **waves** of partitions; each wave appends to the
-  ``extracted`` output (partitioned by ``part``) and appends one lineage
-  row per partition only after that wave's write committed — a killed
-  job resumes from the last complete wave, never re-emitting finished
-  partitions;
+* work proceeds in **waves** of partitions; each wave writes the
+  ``extracted`` output (partitioned by ``part``) via **dynamic partition
+  overwrite** — idempotent, so a crash between the extracted write and
+  the lineage write (the commit marker) re-runs the wave and REPLACES
+  its partitions rather than duplicating them — and appends one lineage
+  row per partition only after that wave's write committed; a killed job
+  resumes from the last complete wave, never re-emitting finished
+  partitions; per-part doc/span/image/error counts are collected during
+  the write with ``observe()`` (one scan per wave, no output re-read);
 * **skew**: extraction cost is proportional to document size; ~1% giant
   documents (100x spans) would straggle a hash partition. Giants are
   split out by a cheap ``size(spans)`` predicate and round-robin
@@ -34,7 +38,7 @@ import datetime as dt
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel.dates import DEFAULT_REF_DATE
@@ -139,6 +143,14 @@ def run_extraction(
     wave_size = max(1, -(-len(all_parts) // waves)) if all_parts else 1
     stats = {"docs": 0, "waves_run": 0, "parts_skipped": len(done)}
 
+    # idempotent wave writes: dynamic partition overwrite replaces ONLY the
+    # partitions present in the written data, so a wave interrupted between
+    # its extracted write and its lineage write is simply re-run on resume
+    # and REPLACES its partitions instead of appending duplicates (the
+    # crash-between-writes hole: lineage is the commit marker, extracted
+    # must therefore be re-writable)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     attempt = int(time.time())
     for w in range(0, len(all_parts), wave_size):
         wave_parts = all_parts[w : w + wave_size]
@@ -149,38 +161,53 @@ def run_extraction(
         extracted = salted_extract(
             wave_df, parallelism, ref_date=ref_date, strategy=strategy
         )
-        extracted.write.mode("append").partitionBy("part").parquet(extracted_path)
+        # lineage counts are collected DURING the write via observe() --
+        # per-part conditional sums -- so each wave is exactly one scan
+        # (the old re-read of the freshly written output would be a second
+        # full pass over every wave's data at 10^12 docs)
+        obs = Observation(f"wave_{attempt}_{w}")
+        metric_exprs = []
+        for p in wave_parts:
+            is_p = F.col("part") == p
+            metric_exprs += [
+                F.sum(F.when(is_p, 1).otherwise(0)).alias(f"d{p}"),
+                F.sum(F.when(is_p, F.col("n_spans")).otherwise(0)).alias(f"s{p}"),
+                F.sum(F.when(is_p, F.col("n_images")).otherwise(0)).alias(f"i{p}"),
+                F.sum(
+                    F.when(is_p & (F.col("status") != "ok"), 1).otherwise(0)
+                ).alias(f"e{p}"),
+            ]
+        extracted = extracted.observe(obs, *metric_exprs)
+        extracted.write.mode("overwrite").partitionBy("part").parquet(
+            extracted_path
+        )
         wall_ms = int((time.time() - t0) * 1000)
 
         # lineage: one row per partition in this wave (INCLUDING empty
         # partitions, so resume skips them too), written only after the
         # extracted write committed (checkpoint granularity = wave)
-        counts = (
-            spark.read.parquet(extracted_path)
-            .filter(F.col("part").isin(wave_parts))
-            .groupBy("part")
-            .agg(
-                F.count("*").alias("doc_count"),
-                F.sum("n_spans").alias("span_count"),
-                F.sum("n_images").alias("image_count"),
-                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias(
-                    "error_count"
-                ),
+        m = obs.get
+        lineage_rows = [
+            (
+                p,
+                int(m.get(f"d{p}") or 0),
+                int(m.get(f"s{p}") or 0),
+                int(m.get(f"i{p}") or 0),
+                int(m.get(f"e{p}") or 0),
+                "ok",
+                attempt,
+                wall_ms,
             )
-        )
-        wave_df_parts = spark.createDataFrame(
-            [(p,) for p in wave_parts], "part int"
-        )
-        lineage = (
-            wave_df_parts.join(counts, "part", "left")
-            .fillna(0, ["doc_count", "span_count", "image_count", "error_count"])
-            .withColumn("status", F.lit("ok"))
-            .withColumn("attempt", F.lit(attempt))
-            .withColumn("wall_ms", F.lit(wall_ms))
+            for p in wave_parts
+        ]
+        lineage = spark.createDataFrame(
+            lineage_rows,
+            "part int, doc_count bigint, span_count bigint, image_count bigint,"
+            " error_count bigint, status string, attempt int, wall_ms int",
         )
         lineage.write.mode("append").parquet(lineage_path)
         stats["waves_run"] += 1
-        stats["docs"] += lineage.agg(F.sum("doc_count")).collect()[0][0] or 0
+        stats["docs"] += sum(r[1] for r in lineage_rows)
 
         if fail_after_wave is not None and stats["waves_run"] >= fail_after_wave:
             return {**stats, "failed_injected": True}

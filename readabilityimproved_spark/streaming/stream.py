@@ -171,3 +171,38 @@ def sessionize_events(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sessionize_events_batch(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch-parity gap sessionization: the relational statement of what
+    the applyInPandasWithState operator above computes incrementally
+    (same 30-min gap rule), so the stateful path has a SQL-checkable
+    twin.
+
+    lag + cumulative-sum-of-boundaries; both window functions use the
+    default RANGE frame, so tied timestamps land in the same session
+    regardless of intra-tie order -- the result is deterministic and
+    engine-independent. Scale: two window passes over (user_id, ts),
+    one shuffle on user_id which the groupBy then reuses.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # timestamp_ntz -> seconds; only DIFFERENCES are used, so any fixed
+    # epoch offset convention cancels out
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    new_s = F.when(
+        prev.isNull() | ((secs - prev) > gap_minutes * 60), 1
+    ).otherwise(0)
+    sessions = events.withColumn("_new", new_s).withColumn(
+        "session_id", F.sum("_new").over(w)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
