@@ -899,6 +899,81 @@ WHERE round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6)
     )
 
 
+_SIMHASH_ND_HAMMING, _SIMHASH_ND_BANDS = 3, 4
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash-hamming near-dup over a constructed corpus: every doc plus
+    a copy (exact for even ids, one-token-appended for odd ids), so the
+    pigeonhole banding + bit_count verify is exercised on real pairs."""
+    from readabilityimproved_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zz")))
+        .alias("text"),
+    )
+    return simhash_neardup_pairs(
+        docs.union(mutated),
+        max_hamming=_SIMHASH_ND_HAMMING,
+        bands=_SIMHASH_ND_BANDS,
+        portable_hash=True,
+    )
+
+
+def _simhash_neardup_oracle() -> str:
+    width = 64 // _SIMHASH_ND_BANDS
+    mask = (1 << width) - 1
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(63)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(63)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {mask} AS chunk FROM sims"
+        for b in range(_SIMHASH_ND_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zz' END
+  FROM documents
+), toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM corpus
+), h AS (
+  SELECT id, {_md5slice('tok')} AS h FROM toks
+), bits AS (
+  SELECT id,
+         {bit_sums}
+  FROM h GROUP BY id
+), sims AS (
+  SELECT id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+), chunks AS (
+  {chunk_selects}
+), capped AS (
+  SELECT id, simhash, band, chunk FROM (
+    SELECT id, simhash, band, chunk,
+           count(*) OVER (PARTITION BY band, chunk) AS bsz
+    FROM chunks)
+  WHERE bsz <= 100
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+FROM capped a JOIN capped b USING (band, chunk)
+WHERE a.id < b.id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_ND_HAMMING}
+"""
+
+
 def _simhash_oracle() -> str:
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1031,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), portable_hash=True
         ),
         "simhash": lambda spark, sf: simhash64(_docs(spark, sf), portable_hash=True),
+        "simhash_neardup": q_simhash_neardup,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1084,4 +1160,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_oracle(),
         "minhash_verified": _minhash_verified_oracle(),
         "simhash": _simhash_oracle(),
+        "simhash_neardup": _simhash_neardup_oracle(),
     }

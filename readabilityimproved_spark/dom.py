@@ -68,11 +68,22 @@ _JTRIM = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
 
 
 class TextNode:
-    __slots__ = ("data", "parent")
+    __slots__ = ("data", "parent", "is_comment")
 
-    def __init__(self, data: str, parent: "Element | None" = None):
+    def __init__(
+        self,
+        data: str,
+        parent: "Element | None" = None,
+        is_comment: bool = False,
+    ):
         self.data = data
         self.parent = parent
+        # comments ride as raw-data text nodes (data includes the
+        # <!-- --> markers): serialized verbatim by html(), skipped by
+        # text() -- jsoup semantics, so the reference's innerHTML regex
+        # scans (DIV_TO_P, REGEX_REPLACE_BRS) see comment content exactly
+        # as the Java code does
+        self.is_comment = is_comment
 
     def __repr__(self):  # pragma: no cover - debug aid
         return f"TextNode({self.data!r})"
@@ -230,7 +241,8 @@ class Element:
         def walk(el: Element) -> None:
             for c in el.children:
                 if c.__class__ is TextNode:
-                    parts.append(c.data)
+                    if not c.is_comment:
+                        parts.append(c.data)
                 else:
                     if c.tag in BLOCK_ELEMENTS:
                         parts.append(" ")
@@ -317,7 +329,7 @@ def _escape_attr(s: str) -> str:
 
 def _serialize(node: Element | TextNode) -> str:
     if isinstance(node, TextNode):
-        return _escape_text(node.data)
+        return node.data if node.is_comment else _escape_text(node.data)
     attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in node.attrs.items())
     if node.tag in VOID_ELEMENTS:
         return f"<{node.tag}{attrs}>"
@@ -357,7 +369,8 @@ class _TreeBuilder:
     Custom single-pass tokenizer (html.parser-compatible for the subset
     this engine specifies): entities decoded in text and attribute
     values, script/style bodies taken raw (CDATA), stray '<' is text,
-    comments/doctypes/PIs dropped.
+    comments kept as raw nodes (in html(), not text()), doctypes/PIs
+    dropped.
     """
 
     def __init__(self) -> None:
@@ -414,11 +427,12 @@ class _TreeBuilder:
                 self.handle_endtag(m.group(1).lower())
                 pos = m.end()
                 continue
-            m = (
-                _T_COMMENT.match(s, lt)
-                or _T_DECL.match(s, lt)
-                or _T_PI.match(s, lt)
-            )
+            m = _T_COMMENT.match(s, lt)
+            if m is not None:
+                self.handle_comment(m.group(0))
+                pos = m.end()
+                continue
+            m = _T_DECL.match(s, lt) or _T_PI.match(s, lt)
             if m is not None:
                 pos = m.end()
                 continue
@@ -479,8 +493,10 @@ class _TreeBuilder:
             node = TextNode(data, self.cur)
             self.cur.children.append(node)
 
-    def handle_comment(self, data: str) -> None:  # comments are dropped
-        pass
+    def handle_comment(self, raw: str) -> None:
+        """Comments become raw-data nodes (jsoup keeps them in the tree;
+        the reference's innerHTML regexes match inside them)."""
+        self.cur.children.append(TextNode(raw, self.cur, is_comment=True))
 
     def handle_decl(self, decl: str) -> None:  # <!DOCTYPE ...> dropped
         pass

@@ -945,7 +945,8 @@ def _emit_spans(
     def walk(e: Element) -> None:
         for c in e.children:
             if isinstance(c, TextNode):
-                parts.append(c.data)
+                if not c.is_comment:
+                    parts.append(c.data)
                 continue
             if c.tag == "img":
                 src = ReadabilityKernel._img_src(c)

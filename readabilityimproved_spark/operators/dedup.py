@@ -410,3 +410,66 @@ def simhash64(
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 100,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Pairs whose 64-bit simhashes differ in <= ``max_hamming`` bits.
+
+    Pigeonhole banding: the hash splits into ``bands`` equal chunks; any
+    pair within hamming distance d < bands must agree on at least one
+    whole chunk, so candidates are generated by a per-chunk bucket join
+    (complete for max_hamming <= bands-1) and verified exactly with
+    ``bit_count(xor)``. The same window-count hot-bucket cap as
+    minhash_lsh_pairs bounds the self-join at 10^12 docs; the pair table
+    carries only (id, band, chunk, simhash) fixed-width columns.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("completeness requires max_hamming <= bands - 1")
+    from pyspark.sql import Window
+
+    sims = simhash64(df, id_col, text_col, portable_hash)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias(
+                "chunk"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sims.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("bc")
+    ).select(
+        "id", "simhash",
+        F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+    )
+    w = Window.partitionBy("band", "chunk")
+    capped = (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    return (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several chunks
+    )

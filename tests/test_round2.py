@@ -238,3 +238,59 @@ def test_text_preserves_nbsp_like_jsoup():
     p = doc.get_elements_by_tag("p")[0]
     # ASCII runs collapse; nbsp and ideographic space survive untouched
     assert p.text() == "a\xa0\xa0b c　d"
+
+
+# --- simhash hamming near-dup -------------------------------------------------
+
+def test_simhash_neardup_finds_exact_and_near(spark):
+    from readabilityimproved_spark.operators.dedup import simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [("a", base), ("b", base), ("c", base + " zz"),
+            ("d", "completely different words about unrelated topics entirely"
+                  " nothing shared here at all with anything else")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(df, max_hamming=3).collect()}
+    assert out[("a", "b")] == 0  # exact duplicate
+    assert ("a", "d") not in out and ("b", "d") not in out
+
+
+def test_simhash_neardup_requires_pigeonhole_completeness(spark):
+    from readabilityimproved_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
+# --- plan guards: the cap is a window count BEFORE the self-join -------------
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_plans_contain_window_cap(spark):
+    from readabilityimproved_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+    from readabilityimproved_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four five")], "doc_id string, text string"
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    for df in (
+        minhash_lsh_pairs(docs),
+        simhash_neardup_pairs(docs),
+        embedding_neardup_pairs(emb),
+    ):
+        plan = _physical_plan(df).lower()
+        # windowed count + <= filter = the hot-bucket cap; red if removed
+        assert "window" in plan, plan[:2000]
+        assert "_bsz" in plan or "bsz" in plan, plan[:2000]
