@@ -335,10 +335,12 @@ def minhash_verified_pairs(
     whose size is bounded by buckets * max_bucket_size^2 from the LSH
     cap), and that small shingle table is persisted so the counts + two
     verification joins evaluate it once instead of three times."""
+    # persisted: the candidate table feeds BOTH the id-list semi-join and
+    # the final pair join -- without it the whole LSH DAG evaluates twice
     candidates = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n,
         portable_hash=portable_hash,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))

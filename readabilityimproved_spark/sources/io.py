@@ -49,3 +49,40 @@ def write_corpus(
     if partition_col and partition_col in df.columns:
         w = w.partitionBy(partition_col)
     w.parquet(path)
+
+
+def read_html_files(
+    spark: SparkSession,
+    glob: str,
+    num_parts: int = 64,
+    base_uri_from_path: bool = True,
+) -> DataFrame:
+    """Raw-HTML file source: one document per file, in the engine's span
+    shape (the reference's input mode -- Extractor.java:77-130 iterates a
+    directory of fetched pages; file path stands in for the URL).
+
+    ``wholetext`` keeps file = row (no line splitting); doc_id is the
+    file path, so the derived ``part`` (xxhash64 % num_parts) is stable
+    across runs and the pipeline's resume filter works unchanged. At
+    10^12 docs you would land files into the span-table layout first --
+    this reader is the ingest edge, not the steady-state scan.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(glob, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    out = raw.select(
+        F.col("path").alias("doc_id"),
+        F.array(span).alias("spans"),
+        F.pmod(F.xxhash64("path"), F.lit(num_parts)).cast("int").alias("part"),
+    )
+    if base_uri_from_path:
+        out = out.withColumn("base_uri", F.col("doc_id"))
+    return out

@@ -294,3 +294,40 @@ def test_lsh_plans_contain_window_cap(spark):
         # windowed count + <= filter = the hot-bucket cap; red if removed
         assert "window" in plan, plan[:2000]
         assert "_bsz" in plan or "bsz" in plan, plan[:2000]
+
+
+# --- raw-HTML file source (the reference's input mode) -----------------------
+
+def test_read_html_files_roundtrip(spark, tmp_path):
+    from readabilityimproved_spark.operators.extract import extract_spans
+    from readabilityimproved_spark.sources.io import read_html_files
+
+    for i in range(6):
+        (tmp_path / f"p{i}.html").write_text(
+            f'<html><body><div class="article content"><p>words {i}, long'
+            " enough to pass the twenty-five char gate, with commas, more"
+            " text here truly</p></div>"
+            '<div class="sidebar">junk</div></body></html>'
+        )
+    df = read_html_files(spark, str(tmp_path / "*.html"), num_parts=8)
+    assert set(df.columns) == {"doc_id", "spans", "part", "base_uri"}
+    assert df.count() == 6
+    parts = {r["part"] for r in df.select("part").collect()}
+    assert parts <= set(range(8))
+    out = extract_spans(df).collect()
+    assert len(out) == 6 and all(r["status"] == "ok" for r in out)
+    texts = [s["text"] for r in out for s in r["spans"]]
+    assert all("junk" not in (t or "") for t in texts)
+
+
+def test_minhash_signature_stage_is_shuffle_free(spark):
+    """The signature computation is a pure per-row map: no Exchange may
+    appear in its plan (the first shuffle belongs to the band-bucket
+    stage). Red if someone reintroduces explode/distinct/groupBy."""
+    from readabilityimproved_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four five")], "doc_id string, text string"
+    )
+    plan = _physical_plan(minhash_signatures(docs))
+    assert "Exchange" not in plan, plan[:2000]
