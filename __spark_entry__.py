@@ -2,11 +2,12 @@
 
 ``entry(spark)`` runs the flagship extraction on sf0.001; ``queries()``
 exposes every implemented operator (SURVEY.md §2 + the training-data
-tier); ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
-operator is SQL-expressible (scalar functions, dedup, similarity, and
-notably the FLAGSHIP DOM-kernel query, whose output is analytically
-predictable for the constructed pages). DOM/LSH/stateful operators
-without an oracle entry get the driver's rows-only check.
+tier); ``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY query
+(31/31 as of round 2): scalar functions, dedup, similarity, streaming
+parity, multimodal plumbing, the FLAGSHIP DOM-kernel queries (outputs
+analytically predictable for the constructed pages), and the LSH family
+-- made oracle-checkable by ``portable_hash=True`` (md5-slice base hash
++ md5-derived universal-hash constants, bit-identical across engines).
 
 Column-name discipline: every computed column is aliased identically in
 the Spark query and the oracle SQL (driver hashes values after sorting

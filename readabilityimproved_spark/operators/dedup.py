@@ -293,27 +293,58 @@ def minhash_lsh_pairs(
     pairs -- capping bounds the join output to
     buckets * max_bucket_size^2 (the standard production LSH guard).
     The cap is applied as a WINDOW count over (band, bucket) rather than
-    a groupBy+join-back: one shuffle, no second pass over ``buckets``,
-    and the self-join that follows shuffles on the same key so AQE
-    reuses the exchange. (A broadcast of the surviving-bucket list would
-    NOT survive 10^12 docs -- that list is O(corpus).)
+    a groupBy+join-back (one shuffle, no second pass, and -- crucially --
+    no risk of materializing an unbounded hot bucket: the count streams).
+    A broadcast of the surviving-bucket list would NOT survive 10^12 docs
+    -- that list is O(corpus).
+
+    Pair generation is an IN-ROW combination explode over the per-bucket
+    id list, not a self-join: a self-join's two branches re-evaluate the
+    whole scan->signature->window subtree (Spark's exchange reuse does
+    not fire once AQE broadcast-converts one side), doubling the most
+    expensive stage. collect_list here is safe EXACTLY because it runs
+    after the cap -- every list is <= max_bucket_size by construction --
+    and the groupBy reuses the window's (band, bucket) partitioning, so
+    the whole plan is: scan -> signatures (pure map) -> ONE exchange on
+    (band, bucket) -> window + group + pair explode -> ONE exchange on
+    the pair key.
     """
+    return _bucket_pairs(
+        lsh_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_n, portable_hash
+        ),
+        max_bucket_size,
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(id, band, bucket) -> once-emitted candidate pairs with the number
+    of matching bands; window cap + in-row combination explode."""
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_n, portable_hash
-    )
     w = Window.partitionBy("band", "bucket")
-    buckets = (
+    capped = (
         buckets.withColumn("_bsz", F.count("*").over(w))
         .filter(F.col("_bsz") <= max_bucket_size)
         .drop("_bsz")
     )
+    grouped = (
+        capped.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select("band", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.countDistinct("band").alias("matching_bands"))
     )
 
@@ -455,23 +486,37 @@ def simhash_neardup_pairs(
         "id", "simhash",
         F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
     )
+    # window cap + in-row combination explode over (id, simhash) structs:
+    # single scan, no self-join (see _bucket_pairs); lists are bounded by
+    # the cap, so collect_list cannot blow on a hot chunk
     w = Window.partitionBy("band", "chunk")
-    capped = (
+    grouped = (
         buckets.withColumn("_bsz", F.count("*").over(w))
         .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+        .groupBy("band", "chunk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
     )
     return (
-        capped.alias("a")
-        .join(capped.alias("b"), ["band", "chunk"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can collide in several chunks
     )

@@ -383,8 +383,6 @@ def embedding_neardup_pairs(
       the cap bound) are joined back to the vector table, and Catalyst/
       AQE broadcasts the candidate side so the corpus never shuffles.
     """
-    from pyspark.sql import Window
-
     all_pairs = hyperplane_pairs(tables, bits, dim)
     bucket_structs = [
         F.struct(
@@ -397,19 +395,14 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array(*bucket_structs)).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    w = Window.partitionBy("tbl", "bucket")
-    capped = (
-        buckets.withColumn("_bsz", F.count("*").over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
-    cand = (
-        capped.alias("a")
-        .join(capped.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()  # dedupe across tables before computing any cosine
-    )
+    # window cap + in-row combination explode (see dedup._bucket_pairs):
+    # one corpus scan, no self-join re-evaluating the bucket subtree;
+    # the groupBy dedupes pairs across tables before any cosine math
+    from .dedup import _bucket_pairs
+
+    cand = _bucket_pairs(
+        buckets.withColumnRenamed("tbl", "band"), max_bucket_size
+    ).select("id_a", "id_b")
     vecs = _with_scaled(
         embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
     ).select("vid", "vec", "norm2")
