@@ -361,11 +361,12 @@ def minhash_verified_pairs(
 ) -> DataFrame:
     """The scale path end-to-end: LSH candidate generation followed by
     exact Jaccard verification of ONLY the candidate pairs. At 10^12 docs
-    this replaces the all-pairs shingle self-join: shingles are exploded
-    for CANDIDATE DOCS ONLY (left-semi against the candidate-id list,
-    whose size is bounded by buckets * max_bucket_size^2 from the LSH
-    cap), and that small shingle table is persisted so the counts + two
-    verification joins evaluate it once instead of three times."""
+    this replaces the all-pairs shingle self-join: distinct gram SETS are
+    computed for CANDIDATE DOCS ONLY (left-semi against the candidate-id
+    list, whose size is bounded by the LSH hot-bucket cap), and the
+    intersection is an in-row ``array_intersect`` -- no shingle explode,
+    no shingle-key shuffle; the only joins key on candidate ids, which
+    Catalyst/AQE broadcasts against the corpus scan."""
     # persisted: the candidate table feeds BOTH the id-list semi-join and
     # the final pair join -- without it the whole LSH DAG evaluates twice
     candidates = minhash_lsh_pairs(
@@ -377,28 +378,32 @@ def minhash_verified_pairs(
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = df.join(cand_ids, id_col, "left_semi")
-    sh = _shingles(cand_docs, id_col, text_col, shingle_n).persist()
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        candidates.join(sh.alias("a"), candidates["id_a"] == F.col("a.id"))
-        .join(
-            sh.alias("b"),
-            (candidates["id_b"] == F.col("b.id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+    sets = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(_gram_array(text_col, shingle_n)).alias("gs"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        .withColumn("n_sh", F.size("gs"))
     )
     return (
-        inter.join(
-            counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"),
+        candidates.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("gs").alias("ga"),
+                F.col("n_sh").alias("na"),
+            ),
             "id_a",
         )
         .join(
-            counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"),
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("gs").alias("gb"),
+                F.col("n_sh").alias("nb"),
+            ),
             "id_b",
         )
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),

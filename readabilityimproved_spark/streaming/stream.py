@@ -100,61 +100,71 @@ _SESSION_SCHEMA = StructType(
 )
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
+        StructField("start_ns", LongType()),
+        StructField("end_ns", LongType()),
         StructField("n", LongType()),
     ]
 )
 
 
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
 def _session_fn(key, pdfs, state: GroupState):
-    """Gap-timeout sessionization kernel (runs per user_id group)."""
+    """EVENT-TIME gap sessionization kernel (runs per user_id group).
+
+    Events are split on 30-min event-time gaps WITHIN the batch (sorted,
+    then boundary scan), merged with any carried-over state session;
+    every completed session is emitted 'closed' immediately and the
+    trailing one stays in state as 'open' (closed later by the
+    processing-time idle timeout). This makes the stateful operator
+    batch-parity-exact: over a single availableNow batch,
+    closed + open rows == sessionize_events_batch (pinned by
+    tests/test_streaming_multimodal.py).
+    State timestamps are nanoseconds, so no precision is lost against
+    the batch twin's raw event times.
+    """
     import pandas as pd
 
-    if state.hasTimedOut:
-        start_ms, end_ms, n = state.get
-        state.remove()
-        yield pd.DataFrame(
+    def row(start_ns, end_ns, n, status):
+        return pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_ns)],
+                "session_end": [pd.Timestamp(end_ns)],
                 "n_events": [n],
-                "status": ["closed"],
+                "status": [status],
             }
         )
+
+    if state.hasTimedOut:
+        start_ns, end_ns, n = state.get
+        state.remove()
+        yield row(start_ns, end_ns, n, "closed")
         return
 
-    ts_min = ts_max = None
-    n_new = 0
+    ts_ns: list[int] = []
     for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        n_new += len(pdf)
-        lo, hi = pdf["ts"].min(), pdf["ts"].max()
-        ts_min = lo if ts_min is None else min(ts_min, lo)
-        ts_max = hi if ts_max is None else max(ts_max, hi)
-    if n_new == 0:
+        if len(pdf):
+            ts_ns.extend(int(v) for v in pdf["ts"].astype("int64"))
+    if not ts_ns:
         return
-    lo_ms, hi_ms = int(ts_min.value // 10**6), int(ts_max.value // 10**6)
-    if state.exists:
-        start_ms, end_ms, n = state.get
-        state.update((min(start_ms, lo_ms), max(end_ms, hi_ms), n + n_new))
-    else:
-        state.update((lo_ms, hi_ms, n_new))
-    state.setTimeoutDuration(30 * 60 * 1000)  # 30 min session gap
-    import pandas as pd
+    ts_ns.sort()
 
-    start_ms, end_ms, n = state.get
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "session_start": [pd.Timestamp(start_ms, unit="ms")],
-            "session_end": [pd.Timestamp(end_ms, unit="ms")],
-            "n_events": [n],
-            "status": ["open"],
-        }
-    )
+    gap_ns = _SESSION_GAP_MS * 1_000_000
+    cur = list(state.get) if state.exists else None  # [start, end, n]
+    for t in ts_ns:
+        if cur is None:
+            cur = [t, t, 1]
+        elif t - cur[1] > gap_ns:
+            yield row(cur[0], cur[1], cur[2], "closed")
+            cur = [t, t, 1]
+        else:
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+    state.update((cur[0], cur[1], cur[2]))
+    state.setTimeoutDuration(_SESSION_GAP_MS)  # idle close for the open tail
+    yield row(cur[0], cur[1], cur[2], "open")
 
 
 def sessionize_events(events_stream: DataFrame) -> DataFrame:

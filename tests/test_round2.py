@@ -331,3 +331,71 @@ def test_minhash_signature_stage_is_shuffle_free(spark):
     )
     plan = _physical_plan(minhash_signatures(docs))
     assert "Exchange" not in plan, plan[:2000]
+
+
+# --- stateful sessionizer == batch twin ---------------------------------------
+
+def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path):
+    """Over a single availableNow batch, the applyInPandasWithState
+    sessionizer's closed+open sessions must EQUAL the relational
+    lag+cumsum twin (event-time gap semantics, ns precision)."""
+    from readabilityimproved_spark.streaming.stream import (
+        sessionize_events,
+        sessionize_events_batch,
+    )
+
+    events_dir = str(tmp_path / "ev")
+    # enough users/sessions for real gap boundaries; capped so the
+    # per-group stateful pass keeps the suite fast
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") % 7 == 0)
+    )
+    events.write.parquet(events_dir)
+    want = {
+        (r["user_id"],
+         r["session_start"].replace(tzinfo=None) if r["session_start"].tzinfo
+         else r["session_start"],
+         r["session_end"].replace(tzinfo=None) if r["session_end"].tzinfo
+         else r["session_end"],
+         r["n_events"])
+        for r in sessionize_events_batch(events).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = str(tmp_path / "out")
+    q = (
+        sessionize_events(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # pending ProcessingTimeTimeouts keep availableNow scheduling empty
+    # batches (the query never self-terminates while state is open), so
+    # poll the sink until all sessions landed, then stop explicitly
+    import time
+
+    rows = []
+    deadline = time.time() + 150
+    while time.time() < deadline:
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:
+            rows = []
+        if len(rows) >= len(want):
+            break
+        time.sleep(2)
+    q.stop()
+    got = {
+        (r["user_id"],
+         r["session_start"].replace(tzinfo=None) if r["session_start"].tzinfo
+         else r["session_start"],
+         r["session_end"].replace(tzinfo=None) if r["session_end"].tzinfo
+         else r["session_end"],
+         r["n_events"])
+        for r in rows
+    }
+    assert got == want

@@ -106,8 +106,21 @@ def test_sessionize_events_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    rows = spark.read.parquet(out).collect()
+    # pending ProcessingTimeTimeouts keep availableNow scheduling empty
+    # batches -- poll the sink for the first batch's rows, then stop
+    import time
+
+    rows = []
+    deadline = time.time() + 150
+    while time.time() < deadline:
+        try:
+            rows = spark.read.parquet(out).collect()
+        except Exception:
+            rows = []
+        if rows:
+            break
+        time.sleep(2)
+    q.stop()
     assert rows  # every user with events yields at least one open session
     by_user = {}
     for r in rows:
