@@ -64,7 +64,9 @@ BLOCK_ELEMENTS = frozenset(
 # Python \s+ here would shift innerText lengths (the 25-char gate, the
 # len//100 bonus, the 80-char sibling rules) on nbsp-heavy pages
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
-_JTRIM = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
+# Java String.trim() strips chars <= U+0020 from both ends;
+# str.strip with an explicit char set is C-speed (vs a regex pass)
+_JTRIM_CHARS = "".join(chr(i) for i in range(0x21))
 
 
 class TextNode:
@@ -251,7 +253,7 @@ class Element:
                         parts.append(" ")
 
         walk(self)
-        value = _JTRIM.sub("", _WS_RUN.sub(" ", "".join(parts)))
+        value = _WS_RUN.sub(" ", "".join(parts)).strip(_JTRIM_CHARS)
         self._text_cache = (key, value)
         return value
 

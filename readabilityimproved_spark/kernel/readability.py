@@ -57,7 +57,9 @@ F05 = float(np.float32(0.5))
 _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCII
 # ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
-_JTRIM = re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
+# Java String.trim() strips chars <= U+0020 from both ends;
+# str.strip with an explicit char set is C-speed (vs a regex pass)
+_JTRIM_CHARS = "".join(chr(i) for i in range(0x21))
 _DIV_TO_P_TAGS = frozenset(
     ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
 )
@@ -937,7 +939,7 @@ def _emit_spans(
 
     def flush() -> None:
         if parts:
-            txt = _JTRIM.sub("", _WS_RUN.sub(" ", "".join(parts)))
+            txt = _WS_RUN.sub(" ", "".join(parts)).strip(_JTRIM_CHARS)
             parts.clear()
             if txt:
                 out.append(("text", txt, None))
