@@ -399,3 +399,33 @@ def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path):
         for r in rows
     }
     assert got == want
+
+
+# --- adversarial inputs: the operators must never crash the job --------------
+
+def test_dedup_family_survives_adversarial_text(spark):
+    from readabilityimproved_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_verified_pairs,
+        simhash64,
+        simhash_neardup_pairs,
+    )
+
+    rows = [
+        ("n", None),                       # null text
+        ("e", ""),                         # empty
+        ("w", " \t\n "),                   # whitespace only
+        ("u", "\xa0　\xa0"),           # unicode-ws only (1 'token')
+        ("g", "x" * 100_000),              # one giant token
+        ("m", "héllo wörld 你好 مرحبا 🎉 ok"),  # multilingual + emoji
+        ("q", "a'b\"c\\d,e;f"),            # quoting/regex metachars
+        ("ok1", "one two three four five six"),
+        ("ok2", "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    assert exact_dedup(df).count() >= 1
+    assert minhash_lsh_pairs(df).count() >= 1          # (ok1, ok2)
+    assert minhash_verified_pairs(df, threshold=0.5).count() >= 1
+    assert simhash64(df).count() >= 1
+    assert simhash_neardup_pairs(df).count() >= 1
