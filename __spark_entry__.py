@@ -33,6 +33,7 @@ from readabilityimproved_spark.operators.dedup import (
 from readabilityimproved_spark.operators.extract import extract_spans
 from readabilityimproved_spark.operators.similarity import (
     ann_bucketed_topk,
+    ann_multiprobe_topk,
     cosine_topk,
     ivf_topk,
 )
@@ -279,6 +280,50 @@ WITH scaled AS (
                / (sqrt(q.norm2) * sqrt(c.norm2)), 6) AS cosine
   FROM normed q JOIN normed c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {_TOPK_QUERIES}
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) as int)
+             AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+_MULTIPROBE_BITS = 8
+
+
+def _oracle_ann_multiprobe() -> str:
+    from readabilityimproved_spark.operators.similarity import hyperplane_pairs
+
+    pairs = hyperplane_pairs(1, _MULTIPROBE_BITS, 64)[0]
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{p1 + 1}] - embedding[{p2 + 1}] >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, (p1, p2) in enumerate(pairs)
+    )
+    probes = ", ".join(
+        ["bucket0"] + [f"xor(bucket0, {1 << i})" for i in range(_MULTIPROBE_BITS)]
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id, cast({bucket} as int) AS bucket0,
+         [cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint)
+          for x in embedding] AS vec
+  FROM embeddings
+), normed AS (
+  SELECT vec_id, bucket0, vec, list_dot_product(vec, vec) AS norm2 FROM scaled
+), probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, norm2 AS qnorm,
+         unnest([{probes}]) AS bucket
+  FROM normed WHERE vec_id < {_TOPK_QUERIES}
+), scored AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         round(list_dot_product(p.qvec, c.vec)
+               / (sqrt(p.qnorm) * sqrt(c.norm2)), 6) AS cosine
+  FROM probes p JOIN normed c ON c.bucket0 = p.bucket
+  WHERE c.vec_id <> p.query_id
 ), ranked AS (
   SELECT query_id, cand_id, cosine,
          cast(row_number() OVER (PARTITION BY query_id
@@ -772,6 +817,21 @@ FROM documents
 """
 
 
+def _url_normalize_query(dialect: str) -> str:
+    d = _cast_str("doc_id", dialect)
+    case = f"""CASE cast(doc_id % 6 as int)
+ WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || {d} || '?a=1#frag'
+ WHEN 1 THEN 'https://H' || {d} || '.com:443?'
+ WHEN 2 THEN 'http://h.com/' || {d}
+ WHEN 3 THEN 'not a url ' || {d} || '#x'
+ WHEN 4 THEN 'http://h.com:8080/q' || {d} || '?a=1&'
+ ELSE 'FTP://Mixed.Case/Keep/' || {d} END"""
+    return f"""
+SELECT doc_id, url, {sqlgen.url_normalize_sql('url', dialect)} AS normalized_url
+FROM (SELECT doc_id, {case} AS url FROM documents)
+"""
+
+
 def _rolling_hash_query(dialect: str) -> str:
     return f"""
 SELECT doc_id, cast({sqlgen.rolling_hash_sql('text', dialect)} as bigint)
@@ -1092,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": sql_query(_fingerprint_query),
         "bpe_token_count": sql_query(_bpe_token_count_query),
         "rolling_hash": sql_query(_rolling_hash_query),
+        "url_normalize": sql_query(_url_normalize_query),
         # --- dedup tier ---------------------------------------------------
         "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
         "dedup_keep_first": lambda spark, sf: dedup_keep_first(_docs(spark, sf)),
@@ -1114,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "similarity_ann_lsh": lambda spark, sf: ann_bucketed_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
+        ),
+        "similarity_ann_multiprobe": lambda spark, sf: ann_multiprobe_topk(
+            _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES,
+            bits=_MULTIPROBE_BITS,
         ),
         "embedding_neardup": q_embedding_neardup,
         "similarity_ivf": lambda spark, sf: ivf_topk(
@@ -1139,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         "pub_date_extract": _oracle_pub_date_extract(),
         "scored_dom_nodes": _oracle_scored_dom_nodes(),
         "similarity_ann_lsh": _oracle_ann_lsh(),
+        "similarity_ann_multiprobe": _oracle_ann_multiprobe(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "similarity_ivf": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
@@ -1154,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_query(DUCKDB),
         "bpe_token_count": _bpe_token_count_query(DUCKDB),
         "rolling_hash": _rolling_hash_query(DUCKDB),
+        "url_normalize": _url_normalize_query(DUCKDB),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

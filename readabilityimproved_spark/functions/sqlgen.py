@@ -305,3 +305,28 @@ def lang_id_sql(s: str, dialect: str) -> str:
         cond = " AND ".join(f"{counts[lang]} >= {c}" for c in others)
         cases.append(f"WHEN {counts[lang]} > 0 AND {cond} THEN '{lang}'")
     return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def url_normalize_sql(u: str, dialect: str) -> str:
+    """Canonical URL form for URL-level dedup: strip the fragment,
+    lowercase scheme+host, drop default ports (http:80 / https:443),
+    trim an empty trailing query, ensure a path on bare hosts.
+    Non-URL strings (no scheme://host prefix) pass through with only the
+    fragment stripped. Identical builtins in both dialects."""
+    u1 = _replace_all(u, r"#.*$", "", dialect)
+    sh = _extract(f"({u1})", r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1, dialect)
+    return (
+        "CASE WHEN {sh} = '' THEN {u1} ELSE "
+        "(CASE WHEN lower({sh}) LIKE 'http://%' THEN {strip80} "
+        " WHEN lower({sh}) LIKE 'https://%' THEN {strip443} "
+        " ELSE lower({sh}) END) || "
+        "(CASE WHEN {rest2} = '' THEN '/' ELSE {rest2} END) END"
+    ).format(
+        sh=sh,
+        u1=u1,
+        strip80=_replace_all(f"lower({sh})", r":80$", "", dialect),
+        strip443=_replace_all(f"lower({sh})", r":443$", "", dialect),
+        rest2=_replace_all(
+            f"substr({u1}, length({sh}) + 1)", r"[?&]+$", "", dialect
+        ),
+    )

@@ -424,3 +424,71 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe hyperplane-LSH ANN: each query searches its own bucket
+    PLUS every hamming-1 neighbor bucket (flip one sign bit).
+
+    Single-probe LSH loses exactly the neighbors that sit across one
+    hyperplane; probing the ``bits`` adjacent buckets recovers most of
+    them at (bits+1)x the candidate cost -- the standard multiprobe
+    trade. The corpus is bucketed ONCE (no explode on the big side);
+    only the small query side fans out, stays broadcast, and the corpus
+    never shuffles. Probe buckets are distinct by construction, so no
+    candidate dedupe is needed.
+    """
+    pairs = hyperplane_pairs(1, bits, dim)[0]
+    bucket = hyperplane_bucket(emb_col, pairs)
+    corpus = _with_scaled(
+        embeddings.withColumn("bucket", bucket).select(
+            F.col(id_col).alias("cand_id"), "bucket", emb_col
+        )
+    ).select("cand_id", "bucket", F.col("vec").alias("cvec"),
+             F.col("norm2").alias("cnorm"))
+    probe_arr = F.array(
+        F.col("bucket0"),
+        *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+    )
+    queries = (
+        _with_scaled(
+            embeddings.withColumn("bucket0", bucket)
+            .filter(F.col(id_col) < num_queries)
+            .select(F.col(id_col).alias("query_id"), "bucket0", emb_col)
+        )
+        .select("query_id", "bucket0", F.col("vec").alias("qvec"),
+                F.col("norm2").alias("qnorm"))
+        .withColumn("bucket", F.explode(probe_arr))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="cvec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("qnorm").cast("double"))
+                    * F.sqrt(F.col("cnorm").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -15,6 +15,7 @@ from readabilityimproved_spark.operators.dedup import (
 )
 from readabilityimproved_spark.operators.extract import reconstruct_html
 from readabilityimproved_spark.operators.similarity import (
+    ann_bucketed_topk,
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
@@ -429,3 +430,22 @@ def test_dedup_family_survives_adversarial_text(spark):
     assert minhash_verified_pairs(df, threshold=0.5).count() >= 1
     assert simhash64(df).count() >= 1
     assert simhash_neardup_pairs(df).count() >= 1
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing must recover at least as many true neighbors as
+    single-probe LSH on the same hash (usually strictly more)."""
+    from readabilityimproved_spark.operators.similarity import (
+        ann_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(EMB_SF)
+    gt = {(r["query_id"], r["cand_id"])
+          for r in cosine_topk(emb, k=5, num_queries=10).collect()}
+    multi = {(r["query_id"], r["cand_id"])
+             for r in ann_multiprobe_topk(emb, k=5, num_queries=10,
+                                          bits=8).collect()}
+    single = {(r["query_id"], r["cand_id"])
+              for r in ann_bucketed_topk(emb, k=5, num_queries=10,
+                                         bits=8).collect()}
+    assert len(gt & multi) >= len(gt & single)
