@@ -5,10 +5,11 @@ All Spark-native (built-in functions only -- no Python in the hot path):
   * exact_dedup        -- md5-fingerprint groupBy (exact duplicates)
   * ngram_jaccard_pairs-- word-shingle explode + self-join + Jaccard
   * minhash_lsh_pairs  -- per-row minhash signatures (one base hash per
-                          shingle + a universal-hash family, evaluated
-                          with transform/array_min: NO shuffle before
-                          the fixed-width band-bucket table), banded LSH
-                          bucket join with a window-count hot-bucket cap
+                          shingle + a universal-hash family folded in a
+                          single aggregate pass: NO shuffle before the
+                          fixed-width band-bucket table), window-count
+                          hot-bucket cap, in-row pair explode (no
+                          self-join)
   * minhash_verified_pairs -- LSH candidates + exact Jaccard verification
                           of candidate docs only
   * simhash64          -- 64-bit simhash from token-hash bit-majority
@@ -192,8 +193,8 @@ def minhash_signatures(
     """MinHash signature per doc, computed entirely per-row.
 
     One base hash per shingle + a universal-hash family for the
-    ``num_hashes`` slots, evaluated with ``transform``/``array_min`` over
-    the in-row gram array: NO explode, NO distinct, NO shuffle -- the
+    ``num_hashes`` slots, folded in a single ``aggregate`` pass over the
+    in-row gram array: NO explode, NO distinct, NO shuffle -- the
     signature stage is a pure map, so at 10^12 docs nothing moves until
     the (fixed-width) band-bucket join. Min over duplicated shingles
     equals min over the distinct set, so skipping DISTINCT is exact.

@@ -449,3 +449,26 @@ def test_multiprobe_recall_dominates_single_probe(spark):
               for r in ann_bucketed_topk(emb, k=5, num_queries=10,
                                          bits=8).collect()}
     assert len(gt & multi) >= len(gt & single)
+
+
+# --- comments participate in innerHTML regex scans (Java parity) --------------
+
+def test_comment_content_triggers_div_to_p_like_java(spark):
+    """Java's DIV_TO_P check regex-scans innerHTML INCLUDING comments
+    (jsoup html() serializes them): a div whose only block-trigger tag
+    lives inside a comment must NOT be converted to <p> -- it keeps its
+    div scoring prior. With comments dropped (round-1 behavior), the div
+    would have converted and scored as a paragraph parent instead."""
+    from readabilityimproved_spark.kernel.readability import extract_document
+
+    # the comment contains '<div' -> DIV_TO_P_ELEMENTS matches innerHTML
+    # -> the outer div is NOT div->p converted (matches Java)
+    html_with = ('<html><body><div class="content"><p>words here with '
+                 'commas, enough to pass the gate truly, ok</p>'
+                 '<!-- <div>hidden</div> --></div></body></html>')
+    r = extract_document(html_with, base_uri="http://h/a.html")
+    assert r.status == "ok"
+    texts = [sp[1] for sp in r.spans if sp[0] == "text"]
+    assert any("words here" in (t or "") for t in texts)
+    # and the comment text itself never leaks into output spans
+    assert not any("hidden" in (t or "") for t in texts)
