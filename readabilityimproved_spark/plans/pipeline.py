@@ -178,6 +178,14 @@ def run_extraction(
                 ).alias(f"e{p}"),
             ]
         extracted = extracted.observe(obs, *metric_exprs)
+        # one writer task per output partition: without this, every map
+        # task opens a file in every partition dir (tasks x parts small
+        # files + a dynamic-overwrite commit listing them all) -- measured
+        # 10x the raw extraction cost at bench scale, and at 10^12 docs
+        # the metadata explosion is worse than one bounded shuffle of the
+        # extracted rows. observe() sits BEFORE the exchange, so metrics
+        # are collected map-side.
+        extracted = extracted.repartition(len(wave_parts), F.col("part"))
         extracted.write.mode("overwrite").partitionBy("part").parquet(
             extracted_path
         )
