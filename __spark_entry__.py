@@ -438,14 +438,17 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n_events",
-        "sum_value",
+        "sum_value_micros",
     )  # approx_count_distinct is engine-specific -> excluded from the oracle
 
 
 def _oracle_event_window_agg() -> str:
+    # sum over BIGINT is HUGEINT in DuckDB -> cast back to Spark's width
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
 FROM events GROUP BY 1, 2
 """
 
@@ -469,25 +472,36 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
-        "sum_value",
+        "sum_value_micros",
     )
 
 
 def _oracle_sessionize_events() -> str:
+    # three width/precision disciplines (r2 verdict adjudication):
+    # * epoch_us, not epoch: the Spark twin and the stateful operator
+    #   compare sub-second event times; fractional-DOUBLE epoch() would
+    #   flip any gap within 1s of the threshold;
+    # * CAST(session_id AS BIGINT): DuckDB windowed sum() yields HUGEINT,
+    #   Spark BIGINT -- the driver's value hash is width-sensitive;
+    # * exact micros-scaled BIGINT sum instead of round(sum(double)).
     return f"""
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+             AS session_id
   FROM o
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_micros
 FROM s GROUP BY 1, 2
 """
 

@@ -76,14 +76,20 @@ def windowed_event_metrics(
         src.groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            # exact scaled-integer sum: a double sum is summation-order-
+            # dependent across engines/partitionings; micros-scaled BIGINT
+            # is associative, so the result is deterministic at any
+            # parallelism (same discipline as the similarity tier)
+            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_value_micros"
+            ),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micros",
             "approx_users",
         )
     )
@@ -200,13 +206,16 @@ def sessionize_events_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    # timestamp_ntz -> seconds; only DIFFERENCES are used, so any fixed
-    # epoch offset convention cancels out
-    secs = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
-    new_s = F.when(
-        prev.isNull() | ((secs - prev) > gap_minutes * 60), 1
-    ).otherwise(0)
+    # MICROSECOND gap comparison: the stateful sessionizer compares raw
+    # int64 event times (ns), and parquet timestamps carry us precision,
+    # so a second-truncated comparison would sessionize an event landing
+    # within 1s of the gap boundary differently across the three paths
+    # (stateful / batch twin / oracle). Only DIFFERENCES are used, so the
+    # epoch offset convention cancels out.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_s = F.when(prev.isNull() | ((micros - prev) > gap_us), 1).otherwise(0)
     sessions = events.withColumn("_new", new_s).withColumn(
         "session_id", F.sum("_new").over(w)
     )
@@ -214,5 +223,8 @@ def sessionize_events_batch(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # exact scaled-integer sum (see windowed_event_metrics)
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+            "sum_value_micros"
+        ),
     )
