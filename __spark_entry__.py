@@ -45,6 +45,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -503,6 +507,107 @@ SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_value_micros
 FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational tier over the shipped TPC-H-ish tables (operators/relational.py)
+# ---------------------------------------------------------------------------
+
+def q_tpch_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.relational import star_join_rollup
+
+    return star_join_rollup(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def _oracle_tpch_star_rollup() -> str:
+    # every DuckDB sum over BIGINT widens to HUGEINT -> cast back
+    return """
+SELECT n_name, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+_TPCH_TOPK = 3
+
+
+def q_tpch_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.relational import (
+        topk_orders_per_segment,
+    )
+
+    return topk_orders_per_segment(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        k=_TPCH_TOPK,
+    )
+
+
+def _oracle_tpch_topk_per_segment() -> str:
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT c_mktsegment, o_orderkey, price_cents, rank FROM (
+  SELECT c_mktsegment, o_orderkey, {cents} AS price_cents,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY {cents} DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rank <= {_TPCH_TOPK}
+"""
+
+
+def q_tpch_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.relational import (
+        customers_without_orders,
+    )
+
+    # restricted to URGENT orders: every customer has SOME order in the
+    # testdata, so the unrestricted anti join would be a 0-row (trivially
+    # hash-matching) correctness signal
+    return customers_without_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ),
+    )
+
+
+def _oracle_tpch_customers_no_orders() -> str:
+    # o_custkey is non-null, so NOT IN == anti join here
+    return """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def _oracle_tpch_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
 """
 
 
@@ -1203,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / streaming-parity tier ---------------------------
         "event_window_agg": q_event_window_agg,
         "sessionize_events": q_sessionize_events,
+        "tpch_star_rollup": q_tpch_star_rollup,
+        "tpch_topk_per_segment": q_tpch_topk_per_segment,
+        "tpch_customers_no_orders": q_tpch_customers_no_orders,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
         # --- multimodal tier ------------------------------------------------
         "media_features": q_media_features,
     }
@@ -1223,6 +1332,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
         "sessionize_events": _oracle_sessionize_events(),
+        "tpch_star_rollup": _oracle_tpch_star_rollup(),
+        "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
+        "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),
+        "tpch_pricing_summary": _oracle_tpch_pricing_summary(),
         "media_features": _oracle_media_features(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),

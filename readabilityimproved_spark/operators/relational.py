@@ -1,0 +1,125 @@
+"""Relational/analytic operators over warehouse-shaped tables.
+
+The reference engine has no joins or aggregations (SURVEY.md §2.7: it is
+a pure per-document extractor), but an analytics engine's user hits
+joins first — these are the engine's first-class relational additions,
+exercised by the driver over the shipped TPC-H-ish tables (orders,
+customer, nation, lineitem).
+
+Scale design (100 TB / 10^12-row fact tables):
+
+* **star joins broadcast the dimension side explicitly** (`F.broadcast`)
+  — nation is tiny and customer is ~1.5% of orders at any TPC-H scale,
+  so the fact table NEVER shuffles on the join key; the only exchange
+  is the final grouped aggregation on a low-cardinality key (with
+  map-side partial aggregation, so the shuffle carries one row per
+  task × group, not per input row);
+* **exact money arithmetic**: all double-valued measures are scaled to
+  integer cents *before* summation (``floor(x*100 + 0.5)`` — IEEE
+  multiply+floor is deterministic, and BIGINT addition is associative),
+  so results are independent of partitioning/summation order — a
+  ``sum(double)`` changes value when the cluster size changes;
+* **top-k-per-group** uses one window over (group, order) — a single
+  hash exchange on the group key, then a streaming rank+filter; no
+  global sort;
+* **anti joins** keep the *smaller* distinct key-set on the build side:
+  Catalyst/AQE broadcast it when it fits, and the probe side never
+  re-partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents from a 2-decimal DOUBLE money column."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+
+
+def star_join_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Orders ⋈ customer ⋈ nation star join with a grouped rollup:
+    per (nation, order priority) order counts and exact revenue cents.
+
+    Plan shape (pinned by tests/test_round3.py): two BroadcastHashJoins
+    (dims broadcast), ONE exchange — the 125-group aggregation."""
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+def topk_orders_per_segment(
+    orders: DataFrame, customer: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k orders by value within each customer market segment.
+
+    One broadcast join (customer is the small side), one exchange on
+    the 5-value segment key, streaming row_number + filter."""
+    priced = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        priced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("c_mktsegment", "o_orderkey", "price_cents", "rank")
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Left-anti 'resume'-shaped query: customers that placed no order
+    (the same shape as the pipeline's checkpoint-resume filter: done
+    keys are anti-joined away). The distinct custkey build side is
+    bounded by |customer| regardless of |orders|."""
+    return customer.join(
+        orders.select("o_custkey").distinct(),
+        customer["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the big fact table: the
+    ship-date filter is pushed to the parquet scan (literal timestamp
+    predicate, verified in the plan's PushedFilters), partial
+    aggregation runs map-side, and the final exchange carries ~4 groups.
+    disc_price = extendedprice*(1-discount) is computed per-row in
+    IEEE double (deterministic), then scaled to exact cents before the
+    order-sensitive step (the sum)."""
+    cut = F.lit(f"{cutoff} 00:00:00").cast("timestamp_ntz")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= cut)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(F.floor(disc * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_disc_cents"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Round-3 additions: relational tier plan quality + exact-arithmetic
+aggregate discipline.
+
+The correctness of the relational queries themselves is covered by
+tests/test_entry_contract.py (every queries() entry runs against its
+DuckDB oracle); these tests pin the SCALE properties the oracle can't
+see: broadcast joins on the dimension side, pushed-down scan filters,
+and single-exchange aggregation plans.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_r3", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_r3"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_rollup_broadcasts_dims(spark, entry_mod):
+    """Both dimension joins must be BroadcastHashJoin (the fact table
+    never shuffles on a join key); the only hash exchange is the final
+    low-cardinality aggregation."""
+    plan = _plan(entry_mod.queries()["tpch_star_rollup"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    hash_exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_topk_per_segment_broadcasts_customer(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["tpch_topk_per_segment"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushes_shipdate_filter(spark, entry_mod):
+    """The ship-date predicate must reach the parquet scan, and the scan
+    must not read columns the query doesn't touch (l_orderkey etc.)."""
+    plan = _plan(entry_mod.queries()["tpch_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "l_orderkey" not in scan, scan
+    assert "l_partkey" not in scan, scan
+
+
+def test_customers_without_orders_is_anti_join(spark, entry_mod):
+    plan = _plan(
+        entry_mod.queries()["tpch_customers_no_orders"](spark, SF_DIR)
+    )
+    assert "LeftAnti" in plan
+    # non-empty at every driver scale: a 0-row result would be a
+    # trivially-matching correctness signal
+    n = entry_mod.queries()["tpch_customers_no_orders"](spark, SF_DIR).count()
+    assert n > 0
+
+
+def test_exact_cents_arithmetic_is_partitioning_invariant(spark, entry_mod):
+    """The scaled-integer sums must not change when the data is
+    re-partitioned (the property that round(sum(double)) lacks)."""
+    from readabilityimproved_spark.operators.relational import pricing_summary
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = {tuple(r) for r in pricing_summary(li).collect()}
+    b = {tuple(r) for r in pricing_summary(li.repartition(17)).collect()}
+    assert a == b
+
+
+def test_sessionize_gap_compares_microseconds(spark):
+    """An event 0.5s inside/outside the 30-min gap must sessionize by
+    its MICROSECOND distance (second-truncated compare would merge the
+    1800.5s gap)."""
+    from readabilityimproved_spark.streaming.stream import (
+        sessionize_events_batch,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00.000000", 1.0),
+        (1, "2024-01-01 00:30:00.500000", 1.0),  # gap 1800.5s -> NEW session
+        (2, "2024-01-01 00:00:00.500000", 1.0),
+        (2, "2024-01-01 00:30:00.000000", 1.0),  # gap 1799.5s -> SAME session
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in sessionize_events_batch(events).collect()
+    }
+    assert got == {(1, 1, 1), (1, 2, 1), (2, 1, 2)}
