@@ -15,8 +15,11 @@ handling, checkpoint/resume):
   its partitions rather than duplicating them — and appends one lineage
   row per partition only after that wave's write committed; a killed job
   resumes from the last complete wave, never re-emitting finished
-  partitions; per-part doc/span/image/error counts are collected during
-  the write with ``observe()`` (one scan per wave, no output re-read);
+  partitions; per-part doc/span/image/error counts are aggregated from
+  the COMMITTED wave output (a partition-pruned, column-pruned read
+  that never touches the heavy ``spans`` column) -- exact under task
+  retry/speculation -- with a constant-size result-stage ``observe()``
+  cross-check;
 * **skew**: extraction cost is proportional to document size; ~1% giant
   documents (100x spans) would straggle a hash partition. Giants are
   split out by a cheap ``size(spans)`` predicate and round-robin
@@ -138,6 +141,12 @@ def run_extraction(
 
     docs = with_part(spark.read.parquet(input_path), num_parts)
 
+    if not resume:
+        # a rerun into a populated output_dir would otherwise mix attempts:
+        # partitions the new run doesn't write keep stale data and old
+        # lineage rows keep "completing" them
+        _clear_output(output_dir)
+
     done = completed_parts(spark, lineage_path) if resume else set()
     all_parts = [p for p in range(num_parts) if p not in done]
     wave_size = max(1, -(-len(all_parts) // waves)) if all_parts else 1
@@ -148,77 +157,118 @@ def run_extraction(
     # its extracted write and its lineage write is simply re-run on resume
     # and REPLACES its partitions instead of appending duplicates (the
     # crash-between-writes hole: lineage is the commit marker, extracted
-    # must therefore be re-writable)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    attempt = int(time.time())
-    for w in range(0, len(all_parts), wave_size):
-        wave_parts = all_parts[w : w + wave_size]
-        # partition-pruned scan: `part` is a parquet partition column when
-        # the corpus was written by sources.synth
-        wave_df = docs.filter(F.col("part").isin(wave_parts))
-        t0 = time.time()
-        extracted = salted_extract(
-            wave_df, parallelism, ref_date=ref_date, strategy=strategy
-        )
-        # lineage counts are collected DURING the write via observe() --
-        # per-part conditional sums -- so each wave is exactly one scan
-        # (the old re-read of the freshly written output would be a second
-        # full pass over every wave's data at 10^12 docs)
-        obs = Observation(f"wave_{attempt}_{w}")
-        metric_exprs = []
-        for p in wave_parts:
-            is_p = F.col("part") == p
-            metric_exprs += [
-                F.sum(F.when(is_p, 1).otherwise(0)).alias(f"d{p}"),
-                F.sum(F.when(is_p, F.col("n_spans")).otherwise(0)).alias(f"s{p}"),
-                F.sum(F.when(is_p, F.col("n_images")).otherwise(0)).alias(f"i{p}"),
-                F.sum(
-                    F.when(is_p & (F.col("status") != "ok"), 1).otherwise(0)
-                ).alias(f"e{p}"),
-            ]
-        extracted = extracted.observe(obs, *metric_exprs)
-        # one writer task per output partition: without this, every map
-        # task opens a file in every partition dir (tasks x parts small
-        # files + a dynamic-overwrite commit listing them all) -- measured
-        # 10x the raw extraction cost at bench scale, and at 10^12 docs
-        # the metadata explosion is worse than one bounded shuffle of the
-        # extracted rows. observe() sits BEFORE the exchange, so metrics
-        # are collected map-side.
-        extracted = extracted.repartition(len(wave_parts), F.col("part"))
-        extracted.write.mode("overwrite").partitionBy("part").parquet(
-            extracted_path
-        )
-        wall_ms = int((time.time() - t0) * 1000)
-
-        # lineage: one row per partition in this wave (INCLUDING empty
-        # partitions, so resume skips them too), written only after the
-        # extracted write committed (checkpoint granularity = wave)
-        m = obs.get
-        lineage_rows = [
-            (
-                p,
-                int(m.get(f"d{p}") or 0),
-                int(m.get(f"s{p}") or 0),
-                int(m.get(f"i{p}") or 0),
-                int(m.get(f"e{p}") or 0),
-                "ok",
-                attempt,
-                wall_ms,
+    # must therefore be re-writable). The conf is session-global, so it is
+    # saved and restored around the run.
+    overwrite_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(overwrite_key, None)
+    spark.conf.set(overwrite_key, "dynamic")
+    try:
+        attempt = int(time.time())
+        for w in range(0, len(all_parts), wave_size):
+            wave_parts = all_parts[w : w + wave_size]
+            # partition-pruned scan: `part` is a parquet partition column
+            # when the corpus was written by sources.synth
+            wave_df = docs.filter(F.col("part").isin(wave_parts))
+            t0 = time.time()
+            extracted = salted_extract(
+                wave_df, parallelism, ref_date=ref_date, strategy=strategy
             )
-            for p in wave_parts
-        ]
-        lineage = spark.createDataFrame(
-            lineage_rows,
-            "part int, doc_count bigint, span_count bigint, image_count bigint,"
-            " error_count bigint, status string, attempt int, wall_ms int",
-        )
-        lineage.write.mode("append").parquet(lineage_path)
-        stats["waves_run"] += 1
-        stats["docs"] += sum(r[1] for r in lineage_rows)
+            # one writer task per output partition: without this, every map
+            # task opens a file in every partition dir (tasks x parts small
+            # files + a dynamic-overwrite commit listing them all) --
+            # measured 10x the raw extraction cost at bench scale
+            extracted = extracted.repartition(len(wave_parts), F.col("part"))
+            # O(1) sanity metrics, observed BELOW the exchange (result
+            # stage: accumulator updates are exactly-once there; a
+            # shuffle-map-stage observe double-counts under task retry /
+            # speculation). Expression count is CONSTANT -- per-part
+            # detail comes from the committed output below, never from
+            # per-part conditional sums (O(parts) codegen at 10^4+ parts).
+            obs = Observation(f"wave_{attempt}_{w}")
+            extracted = extracted.observe(
+                obs,
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_spans").alias("spans"),
+                F.sum("n_images").alias("images"),
+                F.sum(
+                    F.when(F.col("status") != "ok", 1).otherwise(0)
+                ).alias("errors"),
+            )
+            extracted.write.mode("overwrite").partitionBy("part").parquet(
+                extracted_path
+            )
+            wall_ms = int((time.time() - t0) * 1000)
 
-        if fail_after_wave is not None and stats["waves_run"] >= fail_after_wave:
-            return {**stats, "failed_injected": True}
+            # per-part lineage counts from the COMMITTED wave output: a
+            # partition-pruned (only this wave's dirs), column-pruned
+            # (3 int/short-string columns, never `spans`) aggregation.
+            # Counting committed rows is exact by construction -- retries
+            # and speculative tasks can't skew it -- where any in-flight
+            # accumulator scheme is best-effort.
+            by_part = {
+                r["part"]: r
+                for r in (
+                    spark.read.parquet(extracted_path)
+                    .filter(F.col("part").isin(wave_parts))
+                    .groupBy("part")
+                    .agg(
+                        F.count(F.lit(1)).alias("d"),
+                        F.sum("n_spans").alias("s"),
+                        F.sum("n_images").alias("i"),
+                        F.sum(
+                            F.when(F.col("status") != "ok", 1).otherwise(0)
+                        ).alias("e"),
+                    )
+                    .collect()
+                )
+            }
+
+            # lineage: one row per partition in this wave (INCLUDING empty
+            # partitions, so resume skips them too), written only after the
+            # extracted write committed (checkpoint granularity = wave)
+            lineage_rows = [
+                (
+                    p,
+                    int(by_part[p]["d"]) if p in by_part else 0,
+                    int(by_part[p]["s"] or 0) if p in by_part else 0,
+                    int(by_part[p]["i"] or 0) if p in by_part else 0,
+                    int(by_part[p]["e"] or 0) if p in by_part else 0,
+                    "ok",
+                    attempt,
+                    wall_ms,
+                )
+                for p in wave_parts
+            ]
+            # cross-check the result-stage observe against the committed
+            # counts; on any divergence the committed numbers already won
+            # (lineage_rows came from them), so this only surfaces the event
+            m = obs.get
+            if int(m.get("docs") or 0) != sum(r[1] for r in lineage_rows):
+                print(
+                    f"[pipeline] wave {w}: observed docs {m.get('docs')} != "
+                    f"committed {sum(r[1] for r in lineage_rows)}; "
+                    "lineage uses committed counts"
+                )
+            lineage = spark.createDataFrame(
+                lineage_rows,
+                "part int, doc_count bigint, span_count bigint,"
+                " image_count bigint, error_count bigint, status string,"
+                " attempt int, wall_ms int",
+            )
+            lineage.write.mode("append").parquet(lineage_path)
+            stats["waves_run"] += 1
+            stats["docs"] += sum(r[1] for r in lineage_rows)
+
+            if (
+                fail_after_wave is not None
+                and stats["waves_run"] >= fail_after_wave
+            ):
+                return {**stats, "failed_injected": True}
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(overwrite_key)
+        else:
+            spark.conf.set(overwrite_key, prev_mode)
 
     # metrics rollup (declarative; AQE coalesces)
     try:
@@ -238,3 +288,22 @@ def run_extraction(
     except Exception:
         pass
     return stats
+
+
+def _clear_output(output_dir: str) -> None:
+    """resume=False means a FRESH attempt: clear prior extracted/lineage/
+    metrics so no stale partition or lineage row from an earlier attempt
+    can leak into (or 'complete') this run. Local paths are cleared
+    in-place; for remote URIs the caller must supply a fresh directory
+    (listing/deleting through a Hadoop FS is deliberately out of scope
+    here, and silently mixing attempts is worse than refusing)."""
+    import shutil
+
+    if "://" in output_dir and not output_dir.startswith("file:"):
+        raise ValueError(
+            "resume=False requires a fresh output_dir for non-local URIs; "
+            f"got {output_dir!r} (pass resume=True or a new directory)"
+        )
+    local = output_dir.removeprefix("file:")
+    for sub in ("extracted", "lineage", "metrics"):
+        shutil.rmtree(os.path.join(local, sub), ignore_errors=True)

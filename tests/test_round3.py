@@ -85,6 +85,68 @@ def test_exact_cents_arithmetic_is_partitioning_invariant(spark, entry_mod):
     assert a == b
 
 
+def test_fresh_run_clears_stale_attempt_and_restores_conf(spark, tmp_path):
+    """resume=False must not mix attempts: stale extracted partitions and
+    lineage rows from a previous attempt are cleared, and the session-
+    global partitionOverwriteMode conf is restored after the run."""
+    import os
+
+    from readabilityimproved_spark.plans.pipeline import run_extraction
+
+    corpus = str(tmp_path / "corpus")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shaped = docs.limit(50).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("http://h/2019-06/18/a.html").alias("base_uri"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(
+                    F.lit('<div class="content"><p>'),
+                    F.col("text"),
+                    F.lit(", one, two, three.</p></div>"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    shaped.write.parquet(corpus)
+    out = str(tmp_path / "out")
+    run_extraction(spark, corpus, out, num_parts=4, waves=1, resume=False)
+
+    # plant a stale partition dir + verify conf restoration
+    stale = os.path.join(out, "extracted", "part=999")
+    os.makedirs(stale, exist_ok=True)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    run_extraction(spark, corpus, out, num_parts=4, waves=1, resume=False)
+    assert not os.path.exists(stale)
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
+
+    # lineage holds exactly one attempt's rows after the fresh rerun
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.select("attempt").distinct().count() == 1
+    assert lineage.count() == 4  # one row per part, empty parts included
+
+
+def test_wave_observe_is_constant_size(spark):
+    """The lineage observe must not grow with the wave's partition count
+    (O(parts) conditional sums were a codegen bottleneck at 10^4+ parts):
+    pinned by reading the pipeline source, which is the contract."""
+    import inspect
+
+    from readabilityimproved_spark.plans import pipeline
+
+    src = inspect.getsource(pipeline.run_extraction)
+    # the per-part loop building observe expressions is gone
+    assert "for p in wave_parts" not in src.split("Observation")[1].split(
+        "observe("
+    )[0]
+    assert src.count(".observe(") == 1
+
+
 def test_sessionize_gap_compares_microseconds(spark):
     """An event 0.5s inside/outside the 30-min gap must sessionize by
     its MICROSECOND distance (second-truncated compare would merge the
