@@ -368,12 +368,19 @@ def minhash_verified_pairs(
     intersection is an in-row ``array_intersect`` -- no shingle explode,
     no shingle-key shuffle; the only joins key on candidate ids, which
     Catalyst/AQE broadcasts against the corpus scan."""
-    # persisted: the candidate table feeds BOTH the id-list semi-join and
-    # the final pair join -- without it the whole LSH DAG evaluates twice
+    # localCheckpoint (NOT persist): the candidate table feeds BOTH the
+    # id-list semi-join and the final pair join -- without materializing
+    # it the whole LSH DAG evaluates twice. persist() blocks live in the
+    # session CacheManager until an explicit unpersist (which no lazy
+    # consumer can trigger), leaking cache across repeated invocations;
+    # localCheckpoint blocks are ContextCleaner-managed and released when
+    # the DataFrame is garbage-collected. Tradeoff: checkpoint blocks are
+    # not recomputable, so an executor loss fails the query instead of
+    # recomputing (acceptable for a bounded candidate table).
     candidates = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n,
         portable_hash=portable_hash,
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))

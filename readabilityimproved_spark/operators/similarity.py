@@ -345,13 +345,23 @@ def hyperplane_pairs(tables: int, bits: int, dim: int) -> list[list[tuple[int, i
 def hyperplane_bucket(emb_col: str, pairs: list[tuple[int, int]]) -> F.Column:
     """LSH bucket id for one table: bits-wide sign pattern of the
     hyperplane projections. Sign of (float - float) is exact, so Spark
-    and DuckDB agree bit-for-bit on every bucket id."""
+    and DuckDB agree bit-for-bit on every bucket id.
+
+    Guarded: a vector shorter than the highest probed index would (ANSI
+    off) make element_at return NULL, NULL-NULL>=0 evaluate NULL, and
+    the CASE silently zero that sketch bit -- collapsed buckets with no
+    error. assert_true makes the dimension mismatch fail loudly."""
+    max_idx = max(max(p1, p2) for p1, p2 in pairs) + 1
     expr = " + ".join(
         f"(CASE WHEN element_at({emb_col}, {p1 + 1})"
         f" - element_at({emb_col}, {p2 + 1}) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, (p1, p2) in enumerate(pairs)
     )
-    return F.expr(f"cast({expr} as int)")
+    guard = (
+        f"assert_true(size({emb_col}) >= {max_idx},"
+        f" 'embedding dim < {max_idx} required by hyperplane index')"
+    )
+    return F.expr(f"case when {guard} is null then cast({expr} as int) end")
 
 
 def embedding_neardup_pairs(

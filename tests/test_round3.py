@@ -147,6 +147,36 @@ def test_wave_observe_is_constant_size(spark):
     assert src.count(".observe(") == 1
 
 
+def test_short_embedding_fails_loudly(spark):
+    """A vector shorter than the hyperplane index's highest probe must
+    raise, not silently zero sketch bits (collapsed LSH buckets)."""
+    from readabilityimproved_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    short = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim|assert"):
+        embedding_neardup_pairs(short).collect()
+
+
+def test_minhash_verified_releases_cached_blocks(spark):
+    """minhash_verified_pairs must not pin blocks in the session
+    CacheManager: the candidate table is localCheckpointed (cleaner-
+    managed), not persist()ed (session-lifetime)."""
+    from readabilityimproved_spark.operators.dedup import minhash_verified_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    minhash_verified_pairs(docs, threshold=0.1, portable_hash=True).collect()
+    # persist() registers in the session CacheManager until an explicit
+    # unpersist; localCheckpoint does not (its blocks are GC/cleaner-managed)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_sessionize_gap_compares_microseconds(spark):
     """An event 0.5s inside/outside the 30-min gap must sessionize by
     its MICROSECOND distance (second-truncated compare would merge the
