@@ -611,23 +611,15 @@ GROUP BY 1, 2
 """
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing, driver-checked: a media table constructed
-    from documents (payload = utf-8 text bytes, typed metadata) through
-    the Arrow-batched fake decoder; every compared column (n_bytes from
-    the payload, width/height parsed from the meta map, type cycling,
-    status) is DuckDB-computable. checksum/embedding are fake-decoder
-    internals (crc32-seeded) and excluded from the compare."""
-    from readabilityimproved_spark.operators.multimodal import (
-        decode_media_features,
-    )
-
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media table constructed from documents: payload = utf-8 text
+    bytes, media_type cycles image/audio/video, typed metadata map."""
     docs = _docs(spark, sf_dir)
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3).cast("int") + 1,
     )
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(F.lit("m://"), F.col("doc_id").cast("string")).alias("media_ref"),
         mtype.alias("media_type"),
@@ -637,9 +629,74 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("height"), (F.col("doc_id") % 700).cast("string"),
         ).alias("meta"),
     )
-    return decode_media_features(media, mode="fake").select(
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-checked: the constructed media table
+    through the Arrow-batched fake decoder; every compared column
+    (n_bytes from the payload, width/height parsed from the meta map,
+    type cycling, status) is DuckDB-computable. checksum/embedding are
+    fake-decoder internals (crc32-seeded) and excluded from the compare."""
+    from readabilityimproved_spark.operators.multimodal import (
+        decode_media_features,
+    )
+
+    return decode_media_features(_media_table(spark, sf_dir), mode="fake").select(
         "media_ref", "media_type", "n_bytes", "width", "height", "status"
     )
+
+
+_RESIZE_W, _RESIZE_H = 256, 256
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images plumbing, driver-checked: image filter (1/3 of the
+    media table), Arrow batch shape, target dims, status. The resized
+    payload is the fake codec's crc32 stamp (not DuckDB-computable) and
+    is excluded from the compare -- the codec itself remains the
+    documented plug point (multimodal.py:129)."""
+    from readabilityimproved_spark.operators.multimodal import resize_images
+
+    return resize_images(
+        _media_table(spark, sf_dir), target_w=_RESIZE_W, target_h=_RESIZE_H,
+        mode="fake",
+    ).select("media_ref", "target_w", "target_h", "status")
+
+
+def _oracle_media_resize() -> str:
+    return f"""
+SELECT 'm://' || cast(doc_id as varchar) AS media_ref,
+       {_RESIZE_W} AS target_w, {_RESIZE_H} AS target_h,
+       'ok-fake' AS status
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+_FRAMES_EVERY_N = 2
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames plumbing, driver-checked: video filter, per-frame
+    row explosion (frame count = payload bytes // (every_n*64), min 1 --
+    directly computable from octet_length in DuckDB). frame_crc is the
+    fake codec's internal and excluded."""
+    from readabilityimproved_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        _media_table(spark, sf_dir), every_n=_FRAMES_EVERY_N, mode="fake"
+    ).select("media_ref", "frame_idx", "status")
+
+
+def _oracle_media_frames() -> str:
+    chunk = _FRAMES_EVERY_N * 64
+    return f"""
+SELECT 'm://' || cast(doc_id as varchar) AS media_ref,
+       CAST(unnest(generate_series(
+            0, greatest(octet_length(encode(text)) // {chunk}, 1) - 1)) AS INT)
+           AS frame_idx,
+       'ok-fake' AS status
+FROM documents WHERE doc_id % 3 = 2
+"""
 
 
 def _oracle_media_features() -> str:
@@ -1314,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         # --- multimodal tier ------------------------------------------------
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1337,6 +1396,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),
         "tpch_pricing_summary": _oracle_tpch_pricing_summary(),
         "media_features": _oracle_media_features(),
+        "media_resize": _oracle_media_resize(),
+        "media_frames": _oracle_media_frames(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),
