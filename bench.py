@@ -63,23 +63,21 @@ def ensure_corpus(spark) -> None:
         df.repartition(_BENCH_FILES).write.mode("overwrite").parquet(CORPUS)
 
 
-def timed_extraction(spark, runs: int = 3) -> tuple[float, float, int]:
-    """(cold_first_run, best_of_runs, n): the cold number is what a
-    fresh job pays (worker spawn + page cache); the driver's own
-    measurement is cold, so both are published to keep BENCH honest."""
+def timed_extraction(spark, runs: int = 3) -> tuple[list[float], int]:
+    """All run wall-times (first = cold) and the row count. The cold
+    number is what a fresh job pays (worker spawn + page cache); the
+    driver's own measurement is cold, so the full spread is published
+    to keep BENCH honest (cold jitters up to 2x run-to-run)."""
     from readabilityimproved_spark.operators.extract import extract_spans
 
     docs = spark.read.parquet(CORPUS)
     out = extract_spans(docs)
-    t0 = time.time()
-    n = out.count()
-    cold = time.time() - t0
-    best = cold
-    for _ in range(runs):
+    times, n = [], 0
+    for _ in range(1 + runs):
         t0 = time.time()
-        out.count()
-        best = min(best, time.time() - t0)
-    return cold, best, n
+        n = out.count()
+        times.append(round(time.time() - t0, 3))
+    return times, n
 
 
 def timed_pipeline(spark) -> tuple[float, int]:
@@ -114,8 +112,8 @@ def timed_pipeline(spark) -> tuple[float, int]:
 def scale_phase(cores: int) -> None:
     spark = build(cores)
     ensure_corpus(spark)
-    _, sec, n = timed_extraction(spark)
-    print(json.dumps({"cores": cores, "sec": sec, "docs": n}))
+    times, n = timed_extraction(spark, runs=2)
+    print(json.dumps({"cores": cores, "sec": min(times), "docs": n}))
     spark.stop()
 
 
@@ -144,7 +142,8 @@ def main() -> None:
     # own per-round measurement sees); warm best-of-3 goes in `warm`
     spark = build(CPUS)
     ensure_corpus(spark)
-    sec_cold, sec_full, n_full = timed_extraction(spark)
+    kernel_runs, n_full = timed_extraction(spark)
+    sec_cold, sec_full = kernel_runs[0], min(kernel_runs)
     timings["q_extract_kernel"] = round(sec_cold, 3)
     warm = {"q_extract_kernel": round(sec_full, 3)}
 
@@ -173,12 +172,20 @@ def main() -> None:
     pipe_sec, pipe_docs = timed_pipeline(spark)
     spark.stop()
 
-    # --- scaling: pinned N=2 vs 4N=8 subprocesses --------------------------
-    small = run_pinned(SCALE_SMALL)
-    large = run_pinned(SCALE_LARGE)
-    thr_small = small["docs"] / small["sec"]
-    thr_large = large["docs"] / large["sec"]
-    efficiency = (thr_large / thr_small) / (SCALE_LARGE / SCALE_SMALL)
+    # --- scaling: pinned N=2 vs 4N=8 subprocesses, repeated for spread ----
+    # (r2 measured a single-shot 0.869 after r1's 0.984 with no code
+    # change; repetitions separate jitter from regression)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    eff_runs, thr_small, thr_large = [], 0.0, 0.0
+    for _ in range(reps):
+        small = run_pinned(SCALE_SMALL)
+        large = run_pinned(SCALE_LARGE)
+        ts = small["docs"] / small["sec"]
+        tl = large["docs"] / large["sec"]
+        thr_small, thr_large = max(thr_small, ts), max(thr_large, tl)
+        eff_runs.append(round((tl / ts) / (SCALE_LARGE / SCALE_SMALL), 3))
+    eff_sorted = sorted(eff_runs)
+    efficiency = eff_sorted[len(eff_sorted) // 2]  # median
 
     result = {
         "metric": "extraction_bench_wall",
@@ -190,6 +197,7 @@ def main() -> None:
         "bench_docs": N_DOCS,
         "docs_per_sec": round(n_full / sec_full, 1),
         "docs_per_sec_cold": round(n_full / sec_cold, 1),
+        "kernel_runs_sec": kernel_runs,  # first = cold; spread is the jitter
         "pipeline": {
             "sec": round(pipe_sec, 3),
             "docs": pipe_docs,
@@ -203,6 +211,9 @@ def main() -> None:
             "docs_per_sec_small": round(thr_small, 1),
             "docs_per_sec_large": round(thr_large, 1),
             "efficiency": round(efficiency, 3),
+            "efficiency_runs": eff_runs,
+            "efficiency_min": eff_sorted[0],
+            "efficiency_max": eff_sorted[-1],
             "full_width_cores": CPUS,
             "docs_per_sec_full_width": round(n_full / sec_full, 1),
         },
@@ -235,7 +246,9 @@ without a shuffle.
 | local[{sc['full_width_cores']}] warm best-of-3 | {result['docs_per_sec']:,} |
 | full wave-checkpointed pipeline (incl. parquet writes + lineage) | {result['pipeline']['docs_per_sec']:,} |
 
-Host throughput jitters +/-15% run-to-run (cold first runs up to 2x).
+Kernel run spread this measurement (first = cold):
+{result['kernel_runs_sec']} s. Host throughput jitters +/-15%
+run-to-run (cold first runs up to 2x).
 
 ## Per-query timings (local[{sc['full_width_cores']}], sf{result['sf']})
 
@@ -256,9 +269,9 @@ pure-Python multiprocessing ceiling here is itself ~0.80.)
 
 | proxy | docs/sec |
 |---|---|
-| N = {sc['cores_small']} pinned cores | {sc['docs_per_sec_small']:,} |
-| 4N = {sc['cores_large']} pinned cores | {sc['docs_per_sec_large']:,} |
-| **efficiency** | **{sc['efficiency']}** (target >= 0.8) |
+| N = {sc['cores_small']} pinned cores (best of {len(sc['efficiency_runs'])} reps) | {sc['docs_per_sec_small']:,} |
+| 4N = {sc['cores_large']} pinned cores (best of {len(sc['efficiency_runs'])} reps) | {sc['docs_per_sec_large']:,} |
+| **efficiency (median of {len(sc['efficiency_runs'])} reps)** | **{sc['efficiency']}** (target >= 0.8; per-rep: {sc['efficiency_runs']}, min {sc['efficiency_min']}, max {sc['efficiency_max']}) |
 
 ## Plan-quality checks (`.explain("formatted")`, enforced by tests/test_plan_quality.py)
 

@@ -200,17 +200,33 @@ def run_extraction(
             wall_ms = int((time.time() - t0) * 1000)
 
             # per-part lineage counts from the COMMITTED wave output: a
-            # partition-pruned (only this wave's dirs), column-pruned
-            # (3 int/short-string columns, never `spans`) aggregation.
-            # Counting committed rows is exact by construction -- retries
-            # and speculative tasks can't skew it -- where any in-flight
-            # accumulator scheme is best-effort.
-            by_part = {
-                r["part"]: r
-                for r in (
-                    spark.read.parquet(extracted_path)
-                    .filter(F.col("part").isin(wave_parts))
-                    .groupBy("part")
+            # partition-pruned (only this wave's dirs are even LISTED --
+            # reading the table root would re-list every partition written
+            # so far on every wave, O(waves x parts) metadata calls at
+            # 10^5 parts), column-pruned (3 int/short-string columns,
+            # never `spans`) aggregation. Counting committed rows is exact
+            # by construction -- retries and speculative tasks can't skew
+            # it -- where any in-flight accumulator scheme is best-effort.
+            if "://" in extracted_path and not extracted_path.startswith("file:"):
+                # remote store: can't cheaply test per-dir existence; read
+                # the table root and let partition pruning do the filtering
+                committed = spark.read.parquet(extracted_path).filter(
+                    F.col("part").isin(wave_parts)
+                )
+            else:
+                root = extracted_path.removeprefix("file:")
+                wave_dirs = [
+                    d
+                    for p in wave_parts
+                    if os.path.isdir(d := os.path.join(root, f"part={p}"))
+                ]
+                committed = spark.read.option("basePath", extracted_path).parquet(
+                    *wave_dirs
+                ) if wave_dirs else None
+            by_part = (
+                {
+                    r["part"]: r
+                    for r in committed.groupBy("part")
                     .agg(
                         F.count(F.lit(1)).alias("d"),
                         F.sum("n_spans").alias("s"),
@@ -220,8 +236,10 @@ def run_extraction(
                         ).alias("e"),
                     )
                     .collect()
-                )
-            }
+                }
+                if committed is not None
+                else {}
+            )
 
             # lineage: one row per partition in this wave (INCLUDING empty
             # partitions, so resume skips them too), written only after the
