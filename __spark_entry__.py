@@ -511,6 +511,100 @@ FROM s GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# curation tier: training-corpus operators (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_DECON_MOD, _DECON_N = 19, 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap screening: docs with doc_id % 19 == 0 act as
+    the held-out benchmark; every other doc is scored by how many
+    distinct 3-grams it shares with them."""
+    from readabilityimproved_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate(train, bench, n=_DECON_N)
+
+
+def _oracle_decontaminate() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {_DECON_N}
+              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)]
+              ELSE [] END AS gr
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % {_DECON_MOD} = 0
+), tr AS (
+  SELECT DISTINCT doc_id, unnest(gr) AS gram FROM g
+  WHERE doc_id % {_DECON_MOD} <> 0
+)
+SELECT doc_id, count(*) AS n_hits FROM tr JOIN bench USING (gram) GROUP BY 1
+"""
+
+
+_CAP_PER_SOURCE = 5
+
+
+def q_keep_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import keep_per_group
+
+    return keep_per_group(
+        _docs(spark, sf_dir), group_col="source", per_group=_CAP_PER_SOURCE
+    )
+
+
+def _oracle_keep_per_source() -> str:
+    return f"""
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+  FROM documents)
+WHERE rank <= {_CAP_PER_SOURCE}
+"""
+
+
+_PACK_BUDGET, _PACK_STREAMS = 512, 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir),
+        token_budget=_PACK_BUDGET,
+        num_streams=_PACK_STREAMS,
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    toks = sqlgen.token_count_sql("text", DUCKDB)
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % {_PACK_STREAMS} AS INT) AS stream,
+         CAST({toks} AS INT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
+              AS BIGINT) AS running
+  FROM t
+)
+SELECT doc_id, stream, n_tokens,
+       CAST((running - n_tokens) // {_PACK_BUDGET} AS INT) AS pack_id
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # relational tier over the shipped TPC-H-ish tables (operators/relational.py)
 # ---------------------------------------------------------------------------
 
@@ -1345,6 +1439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash": lambda spark, sf: simhash64(_docs(spark, sf), portable_hash=True),
         "simhash_neardup": q_simhash_neardup,
+        # --- curation tier --------------------------------------------------
+        "decontaminate": q_decontaminate,
+        "keep_per_source": q_keep_per_source,
+        "pack_sequences": q_pack_sequences,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1409,6 +1507,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_query(DUCKDB),
         "rolling_hash": _rolling_hash_query(DUCKDB),
         "url_normalize": _url_normalize_query(DUCKDB),
+        "decontaminate": _oracle_decontaminate(),
+        "keep_per_source": _oracle_keep_per_source(),
+        "pack_sequences": _oracle_pack_sequences(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

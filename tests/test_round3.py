@@ -147,6 +147,46 @@ def test_wave_observe_is_constant_size(spark):
     assert src.count(".observe(") == 1
 
 
+def test_decontaminate_broadcasts_benchmark(spark, entry_mod):
+    """The benchmark gram table must broadcast (eval sets are tiny vs a
+    10^12-doc corpus); the corpus side never shuffles on gram keys."""
+    plan = _plan(entry_mod.queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_has_no_global_sort(spark, entry_mod):
+    """Packing must parallelize across streams: a hash exchange on
+    `stream` is expected, a range exchange (global sort) is a scale bug."""
+    plan = _plan(entry_mod.queries()["pack_sequences"](spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange hashpartitioning(stream" in plan
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    """A document belongs to the pack its FIRST token lands in: packs
+    are contiguous per stream, start at 0, and every pack's starting
+    offset is below the next budget boundary."""
+    from readabilityimproved_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (20 + i % 50))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, token_budget=100, num_streams=4).collect()
+    by_stream: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["stream"], r["doc_id"])):
+        by_stream.setdefault(r["stream"], []).append(r)
+    for stream, rs in by_stream.items():
+        running = 0
+        for r in rs:
+            assert r["pack_id"] == running // 100, (stream, r)
+            running += r["n_tokens"]
+        packs = [r["pack_id"] for r in rs]
+        assert packs[0] == 0
+        assert all(b - a in (0, 1) or b >= a for a, b in zip(packs, packs[1:]))
+
+
 def test_short_embedding_fails_loudly(spark):
     """A vector shorter than the hyperplane index's highest probe must
     raise, not silently zero sketch bits (collapsed LSH buckets)."""
