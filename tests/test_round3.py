@@ -211,6 +211,9 @@ def test_minhash_verified_releases_cached_blocks(spark):
         [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
+    # start from a clean CacheManager (the session is shared across the
+    # suite and other tests may legitimately cache)
+    spark.catalog.clearCache()
     minhash_verified_pairs(docs, threshold=0.1, portable_hash=True).collect()
     # persist() registers in the session CacheManager until an explicit
     # unpersist; localCheckpoint does not (its blocks are GC/cleaner-managed)
