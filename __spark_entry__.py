@@ -604,6 +604,69 @@ FROM r
 """
 
 
+_SAMPLE_FRACTION, _SAMPLE_SALT = 0.3, "s0"
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import (
+        deterministic_sample,
+    )
+
+    return deterministic_sample(
+        _docs(spark, sf_dir),
+        fraction=_SAMPLE_FRACTION,
+        salt=_SAMPLE_SALT,
+        portable_hash=True,
+    )
+
+
+def _oracle_deterministic_sample() -> str:
+    thr = int(_SAMPLE_FRACTION * 1_000_000)
+    h = _md5slice(f"doc_id::VARCHAR || '_{_SAMPLE_SALT}'")
+    return f"""
+SELECT * FROM documents WHERE ({h} % 1000000) < {thr}
+"""
+
+
+_MIX_SALT = "mix"
+# per-source weight rule: 0.5 + 0.75 * (source number % 4) -> exactly
+# representable {0.5, 1.25, 2.0, 2.75}, so floor/frac are engine-exact
+_MIX_WEIGHT_SPARK = (
+    "0.5 + 0.75 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)"
+)
+
+
+def q_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import mixture_expand
+
+    docs = _docs(spark, sf_dir).withColumn("weight", F.expr(_MIX_WEIGHT_SPARK))
+    return mixture_expand(
+        docs, weight_col="weight", salt=_MIX_SALT, portable_hash=True
+    ).select("doc_id", "n_repeats", F.col("epoch").cast("int").alias("epoch"))
+
+
+def _oracle_mixture_expand() -> str:
+    h = _md5slice(f"doc_id::VARCHAR || '_{_MIX_SALT}'")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         0.5 + 0.75 * (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4)
+             AS weight
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         CAST(floor(weight) AS INT)
+         + CASE WHEN ({h} % 1000000)
+                     < CAST((weight - floor(weight)) * 1000000 AS BIGINT)
+                THEN 1 ELSE 0 END AS n_repeats
+  FROM w
+)
+SELECT doc_id, n_repeats,
+       CAST(unnest(generate_series(0, n_repeats - 1)) AS INT) AS epoch
+FROM n WHERE n_repeats > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational tier over the shipped TPC-H-ish tables (operators/relational.py)
 # ---------------------------------------------------------------------------
@@ -1443,6 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "keep_per_source": q_keep_per_source,
         "pack_sequences": q_pack_sequences,
+        "deterministic_sample": q_deterministic_sample,
+        "mixture_expand": q_mixture_expand,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1510,6 +1575,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),
+        "deterministic_sample": _oracle_deterministic_sample(),
+        "mixture_expand": _oracle_mixture_expand(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

@@ -30,6 +30,77 @@ from pyspark.sql import functions as F
 from ..functions import sqlgen
 from .dedup import _gram_array
 
+#: hash-fraction denominator for deterministic sampling / mixture weights
+SAMPLE_M = 1_000_000
+
+
+def _hash_bucket(col: F.Column, salt: str, portable: bool) -> F.Column:
+    """Deterministic bucket in [0, SAMPLE_M) from a column + salt.
+
+    portable=True uses the 15-hex md5 slice (bit-identical in DuckDB,
+    same scheme as dedup._base_hash) so sampling decisions are
+    oracle-checkable; production default is xxhash64 (JVM-native)."""
+    s = F.concat(col.cast("string"), F.lit(f"_{salt}"))
+    if portable:
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(s)
+    return F.pmod(h, F.lit(SAMPLE_M))
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    fraction: float,
+    salt: str = "s0",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff hash(id, salt) lands
+    below ``fraction`` — the same ids survive on every run, cluster size,
+    and partitioning (``df.sample`` is seed-AND-partitioning-dependent,
+    which silently changes the sample when the input layout changes).
+    A pure narrow filter: no shuffle, pushes past the scan's columns."""
+    threshold = int(fraction * SAMPLE_M)
+    return docs.filter(
+        _hash_bucket(F.col(id_col), salt, portable_hash) < threshold
+    )
+
+
+def mixture_expand(
+    docs: DataFrame,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Data-mixture upsampling: each document appears
+    floor(weight) + Bernoulli(frac(weight)) times — the standard way a
+    training pipeline realizes fractional per-source epoch counts. The
+    Bernoulli draw is the deterministic hash fraction, so the expansion
+    is reproducible and partitioning-invariant.
+
+    Scale: a per-row map plus an explode bounded by ceil(max weight);
+    zero shuffles. Weights arrive as a column (join a tiny broadcast
+    mixture table upstream for per-source weights)."""
+    w = F.col(weight_col)
+    base = F.floor(w).cast("int")
+    frac_threshold = ((w - F.floor(w)) * SAMPLE_M).cast("bigint")
+    bern = (
+        _hash_bucket(F.col(id_col), salt, portable_hash) < frac_threshold
+    ).cast("int")
+    n = (base + bern).alias("n_repeats")
+    return (
+        docs.select(F.col(id_col), n)
+        .filter(F.col("n_repeats") > 0)
+        .select(
+            id_col,
+            "n_repeats",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_repeats") - 1)
+            ).alias("epoch"),
+        )
+    )
+
 
 def decontaminate(
     train: DataFrame,

@@ -187,6 +187,43 @@ def test_pack_sequences_boundary_semantics(spark):
         assert all(b - a in (0, 1) or b >= a for a, b in zip(packs, packs[1:]))
 
 
+def test_deterministic_sample_is_partitioning_invariant(spark):
+    """The same ids must survive at ANY partitioning — the property
+    df.sample lacks (its per-partition RNG stream changes with layout)."""
+    from readabilityimproved_spark.operators.curation import (
+        deterministic_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.4).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.4).collect()
+    }
+    assert a == b
+    assert 0.2 < len(a) / docs.count() < 0.6  # rate near the target
+
+
+def test_mixture_expand_epoch_counts(spark):
+    """floor(weight) guaranteed epochs, +1 with probability frac(weight);
+    every expanded doc carries contiguous epochs 0..n_repeats-1."""
+    from readabilityimproved_spark.operators.curation import mixture_expand
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit(1.5).alias("weight")
+    )
+    rows = mixture_expand(docs).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert r["n_repeats"] in (1, 2)
+    assert len(per_doc) == 300  # floor(1.5) >= 1: every doc appears
+    for epochs in per_doc.values():
+        assert sorted(epochs) == list(range(len(epochs)))
+    upsampled = sum(1 for e in per_doc.values() if len(e) == 2)
+    assert 0.3 < upsampled / 300 < 0.7  # Bernoulli(0.5) rate
+
+
 def test_short_embedding_fails_loudly(spark):
     """A vector shorter than the hyperplane index's highest probe must
     raise, not silently zero sketch bits (collapsed LSH buckets)."""
