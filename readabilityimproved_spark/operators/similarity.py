@@ -163,10 +163,17 @@ def kmeans_centroids(
         embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
     ).select("vid", "vec", "norm2")
     sample = scaled.filter(F.col("vid") % sample_mod == 0)
+    # init = the num_centroids smallest sample vids. orderBy+limit plans
+    # as TakeOrderedAndProject (distributed per-partition top-k, then a
+    # k-row merge on the driver) -- a row_number over a global window
+    # here would funnel the ENTIRE sample through one partition at
+    # 10^12 rows. The remaining unpartitioned window is bounded by
+    # num_centroids rows.
     w0 = Window.orderBy("vid")
     cent = (
-        sample.withColumn("cent_id", F.row_number().over(w0) - 1)
-        .filter(F.col("cent_id") < num_centroids)
+        sample.orderBy("vid")
+        .limit(num_centroids)
+        .withColumn("cent_id", F.row_number().over(w0) - 1)
         .select("cent_id", F.col("vec").alias("cvec"))
     )
     for _ in range(iters):

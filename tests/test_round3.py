@@ -224,6 +224,16 @@ def test_mixture_expand_epoch_counts(spark):
     assert 0.3 < upsampled / 300 < 0.7  # Bernoulli(0.5) rate
 
 
+def test_kmeans_init_avoids_global_window(spark):
+    """Centroid init must use a distributed top-k (TakeOrderedAndProject),
+    never a row_number over the full unpartitioned sample."""
+    from readabilityimproved_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = kmeans_centroids(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
 def test_short_embedding_fails_loudly(spark):
     """A vector shorter than the hyperplane index's highest probe must
     raise, not silently zero sketch bits (collapsed LSH buckets)."""
