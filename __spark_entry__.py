@@ -788,6 +788,31 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-parity twin of streaming_dedup (dropDuplicatesWithinWatermark):
+    a doubled event table dedups back to one row per event_id. Duplicate
+    rows are bit-identical, so the arbitrary-survivor semantics of
+    dropDuplicates is deterministic here and equals SELECT DISTINCT."""
+    from readabilityimproved_spark.streaming.stream import streaming_dedup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doubled = events.union(events)
+    return streaming_dedup(doubled, id_cols=("event_id",)).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _oracle_stream_dedup_twin() -> str:
+    return """
+SELECT DISTINCT event_id, ts, user_id, event_type, value
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, driver-checked: the constructed media table
     through the Arrow-batched fake decoder; every compared column
@@ -1532,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_topk_per_segment": q_tpch_topk_per_segment,
         "tpch_customers_no_orders": q_tpch_customers_no_orders,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "stream_dedup_twin": q_stream_dedup_twin,
         # --- multimodal tier ------------------------------------------------
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -1558,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),
         "tpch_pricing_summary": _oracle_tpch_pricing_summary(),
+        "stream_dedup_twin": _oracle_stream_dedup_twin(),
         "media_features": _oracle_media_features(),
         "media_resize": _oracle_media_resize(),
         "media_frames": _oracle_media_frames(),

@@ -173,6 +173,29 @@ def _session_fn(key, pdfs, state: GroupState):
     yield row(cur[0], cur[1], cur[2], "open")
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-id emission for a continuous corpus, with
+    BOUNDED state: dropDuplicatesWithinWatermark keeps an id in state
+    only until the watermark passes it, so state size is (arrival rate x
+    delay), not (total ids ever seen) -- a plain dropDuplicates on an
+    unbounded stream of 10^12 docs grows state forever and dies. On a
+    batch frame the same call degrades to an ordinary dropDuplicates
+    (its batch-parity twin, also the operators.dedup exact path)."""
+    src = stream.withColumn(
+        event_time_col, F.col(event_time_col).cast("timestamp")
+    )
+    if stream.isStreaming:
+        return src.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            list(id_cols)
+        )
+    return src.dropDuplicates(list(id_cols))
+
+
 def sessionize_events(events_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user session tracking with
     a 30-minute gap timeout (applyInPandasWithState)."""

@@ -267,6 +267,40 @@ def test_minhash_verified_releases_cached_blocks(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """A duplicated event stream dedups to the batch-distinct result;
+    the plan uses the watermark-bounded operator, not unbounded
+    dropDuplicates state."""
+    from readabilityimproved_spark.streaming.stream import streaming_dedup
+
+    events_dir = str(tmp_path / "ev")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(400)
+    base.union(base).write.parquet(events_dir)  # every event twice
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    deduped = streaming_dedup(stream, id_cols=("event_id",))
+    logical = deduped._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in logical, logical[:1500]
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 400
+    assert got.select("event_id").distinct().count() == 400
+    # batch twin: same call on a batch frame = plain distinct-by-id
+    batch = streaming_dedup(
+        spark.read.parquet(events_dir), id_cols=("event_id",)
+    )
+    assert batch.count() == 400
+
+
 def test_sessionize_gap_compares_microseconds(spark):
     """An event 0.5s inside/outside the 30-min gap must sessionize by
     its MICROSECOND distance (second-truncated compare would merge the
