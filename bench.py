@@ -160,6 +160,8 @@ def main() -> None:
         "similarity_topk",
         "quality_score",
         "date_from_url",
+        "tpch_pricing_summary",
+        "decontaminate",
     ):
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
@@ -177,7 +179,9 @@ def main() -> None:
     # change; repetitions separate jitter from regression)
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     eff_runs, thr_small, thr_large = [], 0.0, 0.0
-    for _ in range(reps):
+    for i in range(reps):
+        if i:
+            time.sleep(3)  # let the OS reclaim the previous JVM's pages
         small = run_pinned(SCALE_SMALL)
         large = run_pinned(SCALE_LARGE)
         ts = small["docs"] / small["sec"]
