@@ -301,6 +301,68 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert batch.count() == 400
 
 
+def test_spark_submit_py_files_deployment(spark, tmp_path):
+    """The north rule's deployment shape end-to-end: package the engine
+    as a zip, run the pipeline through `spark-submit --py-files` in a
+    separate JVM, and check the extracted output."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    corpus = str(tmp_path / "corpus")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    shaped = docs.limit(40).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("http://h/2019-06/18/a.html").alias("base_uri"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(
+                    F.lit('<div class="content"><p>'),
+                    F.col("text"),
+                    F.lit(", one, two, three.</p></div>"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    shaped.write.parquet(corpus)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "engine.zip")
+    pkg_root = os.path.join(repo, "readabilityimproved_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+
+    submit = shutil.which("spark-submit")
+    assert submit, "spark-submit not on PATH"
+    out_dir = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(repo, "tools", "submit_job.py"),
+            corpus, out_dir, "4",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["docs"] == 40
+    extracted = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    assert extracted.count() == 40
+    assert extracted.filter(F.col("status") == "ok").count() == 40
+
+
 def test_sessionize_gap_compares_microseconds(spark):
     """An event 0.5s inside/outside the 30-min gap must sessionize by
     its MICROSECOND distance (second-truncated compare would merge the
