@@ -135,18 +135,24 @@ def keep_per_group(
     per_group: int = 10,
     order_col: str = "n_chars",
     id_col: str = "doc_id",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Keep at most ``per_group`` documents per group, highest
     ``order_col`` first (ties broken by id for determinism): the
-    domain-frequency cap every crawl-derived corpus applies."""
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
-    )
-    return (
-        docs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= per_group)
-        .select(group_col, id_col, "rank")
-    )
+    domain-frequency cap every crawl-derived corpus applies.
+
+    Uses the exact salted two-phase top-k (relational.salted_topk): a
+    giant domain would otherwise pass through ONE window task."""
+    from .relational import salted_topk
+
+    return salted_topk(
+        docs,
+        group_col,
+        [F.col(order_col).desc(), F.col(id_col).asc()],
+        per_group,
+        salt_key_col=id_col,
+        salt_buckets=salt_buckets,
+    ).select(group_col, id_col, "rank")
 
 
 def pack_sequences(
@@ -162,7 +168,10 @@ def pack_sequences(
 
     Token semantics match functions.sqlgen.token_count_sql exactly, so
     the operator is oracle-checkable; integer division keeps pack ids
-    exact at any scale (no float accumulation)."""
+    exact at any scale (no float accumulation). ``num_streams`` bounds
+    the packing parallelism (one window task per stream) — size it to
+    ~4x the cluster's cores in production; the default 8 is the
+    oracle-parity test setting."""
     n_tokens = F.expr(sqlgen.token_count_sql(text_col, sqlgen.SPARK)).cast("int")
     stream = F.pmod(F.col(id_col), F.lit(num_streams)).cast("int")
     t = docs.select(

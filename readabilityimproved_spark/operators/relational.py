@@ -38,6 +38,43 @@ def _cents(col: str) -> F.Column:
     return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
 
 
+def salted_topk(
+    df: DataFrame,
+    group_col: str,
+    order_exprs: list,
+    k: int,
+    salt_key_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact top-k per group WITHOUT funneling each group through one
+    window task.
+
+    A plain ``row_number over (partition by group)`` sends every row of
+    a group to a single task — with low-cardinality or skewed groups
+    (5 market segments; one giant crawl domain) that is a straggler at
+    10^12 rows. Two phases, both exact: (1) rank within
+    (group, hash-salt) and keep k per salt — the global top-k is a
+    subset of the union of per-salt top-ks, so nothing is lost;
+    (2) re-rank the survivors (≤ k × salt_buckets rows per group, tiny)
+    for the final positions. Adds a column ``rank`` (1-based)."""
+    work = df
+    if salt_buckets > 1:
+        ws = Window.partitionBy(group_col, "_salt").orderBy(*order_exprs)
+        work = (
+            df.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(salt_key_col)), F.lit(salt_buckets)),
+            )
+            .withColumn("_r", F.row_number().over(ws))
+            .filter(F.col("_r") <= k)
+            .drop("_salt", "_r")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    return work.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def star_join_rollup(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -68,8 +105,9 @@ def topk_orders_per_segment(
 ) -> DataFrame:
     """Top-k orders by value within each customer market segment.
 
-    One broadcast join (customer is the small side), one exchange on
-    the 5-value segment key, streaming row_number + filter."""
+    One broadcast join (customer is the small side), then the salted
+    two-phase top-k: a 5-value segment key would otherwise funnel the
+    whole fact table through 5 window tasks."""
     priced = orders.join(
         F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
     ).select(
@@ -77,14 +115,13 @@ def topk_orders_per_segment(
         "o_orderkey",
         _cents("o_totalprice").alias("price_cents"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("price_cents").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        priced.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("c_mktsegment", "o_orderkey", "price_cents", "rank")
-    )
+    return salted_topk(
+        priced,
+        "c_mktsegment",
+        [F.col("price_cents").desc(), F.col("o_orderkey").asc()],
+        k,
+        salt_key_col="o_orderkey",
+    ).select("c_mktsegment", "o_orderkey", "price_cents", "rank")
 
 
 def customers_without_orders(

@@ -187,6 +187,35 @@ def test_pack_sequences_boundary_semantics(spark):
         assert all(b - a in (0, 1) or b >= a for a, b in zip(packs, packs[1:]))
 
 
+def test_salted_topk_equals_plain_window(spark):
+    """The two-phase salted top-k must return EXACTLY the plain
+    window's rows and ranks (it's an optimization, not an
+    approximation), at several k and salt widths."""
+    from pyspark.sql import Window
+
+    from readabilityimproved_spark.operators.relational import salted_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    for k in (1, 5):
+        for buckets in (1, 4, 64):
+            got = {
+                tuple(r)
+                for r in salted_topk(
+                    docs, "source", order, k, "doc_id", buckets
+                ).select("source", "doc_id", "rank").collect()
+            }
+            w = Window.partitionBy("source").orderBy(*order)
+            want = {
+                tuple(r)
+                for r in docs.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("source", "doc_id", "rank")
+                .collect()
+            }
+            assert got == want, (k, buckets)
+
+
 def test_deterministic_sample_is_partitioning_invariant(spark):
     """The same ids must survive at ANY partitioning — the property
     df.sample lacks (its per-partition RNG stream changes with layout)."""
