@@ -894,6 +894,54 @@ FROM documents
 """
 
 
+def q_media_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attach_media_features driver-checked end-to-end: the flagship
+    extraction's image spans broadcast-joined to decoded features of a
+    media table keyed by the same refs. One row per document (the
+    flagship page has exactly one surviving image at offset 1)."""
+    from readabilityimproved_spark.operators.multimodal import (
+        attach_media_features,
+        decode_media_features,
+    )
+
+    extracted = extract_spans(_shaped_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    src = F.concat(F.lit(_IMG_PREFIX), F.col("doc_id").cast("string"), F.lit(".jpg"))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        src.alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("width"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit("height"), (F.col("doc_id") % 700).cast("string"),
+        ).alias("meta"),
+    )
+    feats = decode_media_features(media, mode="fake")
+    return attach_media_features(extracted, feats).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "media_ref",
+        "span_offset",
+        "n_bytes",
+        "width",
+        "height",
+        "status",
+    )
+
+
+def _oracle_media_attach() -> str:
+    return f"""
+SELECT doc_id,
+       '{_IMG_PREFIX}' || cast(doc_id as varchar) || '.jpg' AS media_ref,
+       1 AS span_offset,
+       cast(octet_length(encode(text)) as int) AS n_bytes,
+       cast(doc_id % 1000 as int) AS width,
+       cast(doc_id % 700 as int) AS height,
+       'ok-fake' AS status
+FROM documents
+"""
+
+
 _NEARDUP_THRESHOLD = 0.2
 
 
@@ -1562,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_attach": q_media_attach,
     }
 
 
@@ -1588,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle_media_features(),
         "media_resize": _oracle_media_resize(),
         "media_frames": _oracle_media_frames(),
+        "media_attach": _oracle_media_attach(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),
