@@ -604,6 +604,27 @@ FROM r
 """
 
 
+_VOCAB_TOPN = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), top_n=_VOCAB_TOPN)
+
+
+def _oracle_vocab_topk() -> str:
+    return f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {_VOCAB_TOPN}
+"""
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.3, "s0"
 
 
@@ -1581,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "deterministic_sample": q_deterministic_sample,
         "mixture_expand": q_mixture_expand,
+        "vocab_topk": q_vocab_topk,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1654,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "deterministic_sample": _oracle_deterministic_sample(),
         "mixture_expand": _oracle_mixture_expand(),
+        "vocab_topk": _oracle_vocab_topk(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

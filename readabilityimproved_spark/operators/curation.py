@@ -102,6 +102,25 @@ def mixture_expand(
     )
 
 
+def vocab_topk(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` whitespace tokens by global
+    count (ties broken by token for a deterministic boundary).
+
+    Scale: token explode is narrow; the groupBy partial-aggregates
+    map-side so the exchange carries one row per (task, distinct token);
+    the global top-N plans as TakeOrderedAndProject (per-partition
+    top-N + a driver merge of N-row lists), never a full sort."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
