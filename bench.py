@@ -112,7 +112,7 @@ def timed_pipeline(spark) -> tuple[float, int]:
 def scale_phase(cores: int) -> None:
     spark = build(cores)
     ensure_corpus(spark)
-    times, n = timed_extraction(spark, runs=2)
+    times, n = timed_extraction(spark, runs=3)
     print(json.dumps({"cores": cores, "sec": min(times), "docs": n}))
     spark.stop()
 
@@ -177,7 +177,7 @@ def main() -> None:
     # --- scaling: pinned N=2 vs 4N=8 subprocesses, repeated for spread ----
     # (r2 measured a single-shot 0.869 after r1's 0.984 with no code
     # change; repetitions separate jitter from regression)
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
     eff_runs, thr_small, thr_large = [], 0.0, 0.0
     for i in range(reps):
         if i:
