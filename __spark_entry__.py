@@ -625,6 +625,31 @@ LIMIT {_VOCAB_TOPN}
 """
 
 
+_INDEX_CAP = 390  # splits the sf0.01 df distribution: hot tokens dropped
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=_INDEX_CAP)
+
+
+def _oracle_inverted_index() -> str:
+    return f"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT doc_id, token,
+         CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
+  FROM t WHERE token <> ''
+)
+SELECT token, df, list(doc_id ORDER BY doc_id) AS postings
+FROM c WHERE df <= {_INDEX_CAP} GROUP BY token, df
+"""
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.3, "s0"
 
 
@@ -1603,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "mixture_expand": q_mixture_expand,
         "vocab_topk": q_vocab_topk,
+        "inverted_index": q_inverted_index,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1677,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": _oracle_deterministic_sample(),
         "mixture_expand": _oracle_mixture_expand(),
         "vocab_topk": _oracle_vocab_topk(),
+        "inverted_index": _oracle_inverted_index(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

@@ -121,6 +121,36 @@ def vocab_topk(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
 
 
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """token -> (df, sorted posting list), dropping tokens whose
+    document frequency exceeds ``max_postings``.
+
+    The cap is applied with a window count BEFORE collect_list (the
+    same hot-key discipline as the LSH bucket caps): a stopword's
+    posting list is unbounded at corpus scale and carries no retrieval
+    signal, so it must never reach the list aggregation -- a post-agg
+    filter would have already materialized it. One shuffle on token,
+    reused by both the window and the groupBy."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("token")
+    return (
+        toks.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_postings)
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

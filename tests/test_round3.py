@@ -131,6 +131,50 @@ def test_fresh_run_clears_stale_attempt_and_restores_conf(spark, tmp_path):
     assert lineage.count() == 4  # one row per part, empty parts included
 
 
+def test_lineage_counts_error_documents(spark, tmp_path):
+    """A pathological document (oversize nesting) must land in the
+    extracted output with a non-ok status AND be counted in the lineage
+    error_count — errors are data, not silent drops."""
+    import os
+
+    from readabilityimproved_spark.plans.pipeline import run_extraction
+
+    deep = "<div>" * 700 + "text" + "</div>" * 700
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            ("good", '<div class="content"><p>fine, long, text here.</p></div>'),
+            ("bad", deep),
+        ],
+        "doc_id string, text string",
+    ).select(
+        "doc_id",
+        F.lit("http://h/a.html").alias("base_uri"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    ).write.parquet(corpus)
+
+    out = str(tmp_path / "out")
+    stats = run_extraction(spark, corpus, out, num_parts=2, waves=1, resume=False)
+    assert stats["docs"] == 2
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    agg = lineage.agg(
+        F.sum("doc_count").alias("d"), F.sum("error_count").alias("e")
+    ).collect()[0]
+    assert agg["d"] == 2
+    assert agg["e"] == 1
+    extracted = spark.read.parquet(os.path.join(out, "extracted"))
+    statuses = {r["doc_id"]: r["status"] for r in extracted.collect()}
+    assert statuses["good"] == "ok"
+    assert statuses["bad"] != "ok"
+
+
 def test_wave_observe_is_constant_size(spark):
     """The lineage observe must not grow with the wave's partition count
     (O(parts) conditional sums were a codegen bottleneck at 10^4+ parts):
