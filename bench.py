@@ -290,7 +290,18 @@ pure-Python multiprocessing ceiling here is itself ~0.80.)
   band-bucket table); hot buckets capped by a window count;
 * similarity: query side broadcast, corpus side never shuffles before
   the final windowed top-k; near-dup candidates bounded by the
-  per-bucket cap across 4 independent 16-bit hyperplane tables.
+  per-bucket cap across 4 independent 16-bit hyperplane tables;
+  k-means init is a distributed TakeOrderedAndProject (no global
+  window over the sample);
+* relational: star-join dims broadcast (2 BroadcastHashJoin, one
+  aggregation exchange), Q1 ship-date predicate in PushedFilters with
+  pruned ReadSchema, per-group top-k via the exact salted two-phase
+  rank (no single-task group funnels);
+* curation: decontamination broadcasts the benchmark gram table (the
+  corpus never shuffles on gram keys); sequence packing windows per
+  hash stream (no global sort); sampling/mixture are pure narrow maps;
+  inverted-index posting lists capped by a window count BEFORE
+  collect_list.
 
 Reproduce: `python bench.py [--write-md]` (env: `SPARK_GRAFT_SF_DIR`,
 `SPARK_GRAFT_CPUS`).
