@@ -177,7 +177,9 @@ def main() -> None:
     # --- scaling: pinned N=2 vs 4N=8 subprocesses, repeated for spread ----
     # (r2 measured a single-shot 0.869 after r1's 0.984 with no code
     # change; repetitions separate jitter from regression)
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5")))
     eff_runs, thr_small, thr_large = [], 0.0, 0.0
     for i in range(reps):
         if i:
@@ -189,7 +191,7 @@ def main() -> None:
         thr_small, thr_large = max(thr_small, ts), max(thr_large, tl)
         eff_runs.append(round((tl / ts) / (SCALE_LARGE / SCALE_SMALL), 3))
     eff_sorted = sorted(eff_runs)
-    efficiency = eff_sorted[len(eff_sorted) // 2]  # median
+    efficiency = round(statistics.median(eff_runs), 3)
 
     result = {
         "metric": "extraction_bench_wall",

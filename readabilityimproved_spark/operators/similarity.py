@@ -366,7 +366,7 @@ def hyperplane_bucket(emb_col: str, pairs: list[tuple[int, int]]) -> F.Column:
     )
     guard = (
         f"assert_true(size({emb_col}) >= {max_idx},"
-        f" 'embedding dim < {max_idx} required by hyperplane index')"
+        f" 'embedding dim >= {max_idx} required by hyperplane index')"
     )
     return F.expr(f"case when {guard} is null then cast({expr} as int) end")
 

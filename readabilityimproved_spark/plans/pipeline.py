@@ -101,11 +101,33 @@ def salted_extract(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop conf.
+
+    Scheme-less paths resolve against ``fs.defaultFS`` -- local in tests,
+    HDFS/S3/GCS on a real cluster -- so existence checks and deletes are
+    correct on ANY filesystem. os.path probes would silently consult the
+    driver's local disk and corrupt lineage on a remote-defaultFS
+    cluster (the exact deployment tools/submit_job.py advertises)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.delete(p, True)
+
+
 def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
-    # cheap existence check first: avoids a logged AnalysisException stack
-    # on every fresh run (local paths; remote stores fall through to try)
-    local = lineage_path.removeprefix("file:")
-    if "://" not in lineage_path and not os.path.exists(local):
+    # cheap existence check first (on the path's OWN filesystem): avoids a
+    # logged AnalysisException stack on every fresh run
+    if not _fs_exists(spark, lineage_path):
         return set()
     try:
         rows = (
@@ -145,7 +167,7 @@ def run_extraction(
         # a rerun into a populated output_dir would otherwise mix attempts:
         # partitions the new run doesn't write keep stale data and old
         # lineage rows keep "completing" them
-        _clear_output(output_dir)
+        _clear_output(spark, output_dir)
 
     done = completed_parts(spark, lineage_path) if resume else set()
     all_parts = [p for p in range(num_parts) if p not in done]
@@ -207,22 +229,19 @@ def run_extraction(
             # never `spans`) aggregation. Counting committed rows is exact
             # by construction -- retries and speculative tasks can't skew
             # it -- where any in-flight accumulator scheme is best-effort.
-            if "://" in extracted_path and not extracted_path.startswith("file:"):
-                # remote store: can't cheaply test per-dir existence; read
-                # the table root and let partition pruning do the filtering
-                committed = spark.read.parquet(extracted_path).filter(
-                    F.col("part").isin(wave_parts)
-                )
-            else:
-                root = extracted_path.removeprefix("file:")
-                wave_dirs = [
-                    d
-                    for p in wave_parts
-                    if os.path.isdir(d := os.path.join(root, f"part={p}"))
-                ]
-                committed = spark.read.option("basePath", extracted_path).parquet(
-                    *wave_dirs
-                ) if wave_dirs else None
+            # existence via the path's own Hadoop filesystem (works for
+            # local, HDFS, S3, ... -- a part that produced zero rows has
+            # no dir, so it must not be passed to the reader)
+            wave_dirs = [
+                d
+                for p in wave_parts
+                if _fs_exists(spark, d := os.path.join(extracted_path, f"part={p}"))
+            ]
+            committed = (
+                spark.read.option("basePath", extracted_path).parquet(*wave_dirs)
+                if wave_dirs
+                else None
+            )
             by_part = (
                 {
                     r["part"]: r
@@ -308,20 +327,11 @@ def run_extraction(
     return stats
 
 
-def _clear_output(output_dir: str) -> None:
+def _clear_output(spark: SparkSession, output_dir: str) -> None:
     """resume=False means a FRESH attempt: clear prior extracted/lineage/
     metrics so no stale partition or lineage row from an earlier attempt
-    can leak into (or 'complete') this run. Local paths are cleared
-    in-place; for remote URIs the caller must supply a fresh directory
-    (listing/deleting through a Hadoop FS is deliberately out of scope
-    here, and silently mixing attempts is worse than refusing)."""
-    import shutil
-
-    if "://" in output_dir and not output_dir.startswith("file:"):
-        raise ValueError(
-            "resume=False requires a fresh output_dir for non-local URIs; "
-            f"got {output_dir!r} (pass resume=True or a new directory)"
-        )
-    local = output_dir.removeprefix("file:")
+    can leak into (or 'complete') this run. Deletes go through the
+    path's own Hadoop filesystem, so this is correct on local disk AND
+    on remote stores (HDFS/S3/...)."""
     for sub in ("extracted", "lineage", "metrics"):
-        shutil.rmtree(os.path.join(local, sub), ignore_errors=True)
+        _fs_delete(spark, os.path.join(output_dir, sub))

@@ -67,11 +67,18 @@ def windowed_event_metrics(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Tumbling event-time windows with late-data watermark; works on both
-    batch and streaming DataFrames (same plan, Catalyst handles both)."""
-    # watermarks require TIMESTAMP (not NTZ); normalize the event-time col
-    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch and streaming DataFrames (same plan, Catalyst handles both).
+
+    The batch path keeps the event-time column's own type: window() is
+    NTZ-capable, and a cast through session-timezone TIMESTAMP would
+    shift wall times that fall in a DST gap on a non-UTC driver (the
+    oracle compares naive timestamps). Only the streaming watermark
+    needs the TIMESTAMP cast."""
+    src = events
     if events.isStreaming:
-        src = src.withWatermark("ts", watermark)
+        src = events.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
         .agg(
@@ -185,15 +192,18 @@ def streaming_dedup(
     delay), not (total ids ever seen) -- a plain dropDuplicates on an
     unbounded stream of 10^12 docs grows state forever and dies. On a
     batch frame the same call degrades to an ordinary dropDuplicates
-    (its batch-parity twin, also the operators.dedup exact path)."""
-    src = stream.withColumn(
-        event_time_col, F.col(event_time_col).cast("timestamp")
-    )
+    (its batch-parity twin, also the operators.dedup exact path). The
+    TIMESTAMP cast happens only on the streaming branch (the watermark
+    needs it); the batch path leaves the column untouched, so output
+    values never depend on the driver session's timezone."""
     if stream.isStreaming:
+        src = stream.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp")
+        )
         return src.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
             list(id_cols)
         )
-    return src.dropDuplicates(list(id_cols))
+    return stream.dropDuplicates(list(id_cols))
 
 
 def sessionize_events(events_stream: DataFrame) -> DataFrame:
@@ -233,9 +243,14 @@ def sessionize_events_batch(
     # int64 event times (ns), and parquet timestamps carry us precision,
     # so a second-truncated comparison would sessionize an event landing
     # within 1s of the gap boundary differently across the three paths
-    # (stateful / batch twin / oracle). Only DIFFERENCES are used, so the
-    # epoch offset convention cancels out.
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    # (stateful / batch twin / oracle). Computed on NTZ wall time via
+    # timestampdiff -- a unix_micros(cast as TIMESTAMP) detour would
+    # shift events in a DST gap on a non-UTC driver session. Only
+    # DIFFERENCES are used, so the epoch convention cancels out.
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " CAST(ts AS TIMESTAMP_NTZ))"
+    )
     prev = F.lag(micros).over(w)
     gap_us = gap_minutes * 60 * 1_000_000
     new_s = F.when(prev.isNull() | ((micros - prev) > gap_us), 1).otherwise(0)

@@ -228,7 +228,8 @@ def test_pack_sequences_boundary_semantics(spark):
             running += r["n_tokens"]
         packs = [r["pack_id"] for r in rs]
         assert packs[0] == 0
-        assert all(b - a in (0, 1) or b >= a for a, b in zip(packs, packs[1:]))
+        # every doc here is < budget tokens, so pack ids are contiguous
+        assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
 
 
 def test_salted_topk_equals_plain_window(spark):
