@@ -51,6 +51,29 @@ def write_corpus(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "doc_id",
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    THE lever for repeated joins at 10^12 rows: two tables bucketed the
+    same way on the same key join with ZERO exchanges (and zero sorts
+    when also sorted) -- the shuffle is paid once at write time instead
+    of once per query. Equivalent to Iceberg's bucket(N, col) partition
+    transform; parquet bucketing needs the session catalog
+    (saveAsTable), which the embedded local metastore provides.
+    tests/test_round3.py pins the exchange-free join plan."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
 def read_html_files(
     spark: SparkSession,
     glob: str,

@@ -437,6 +437,32 @@ def test_spark_submit_py_files_deployment(spark, tmp_path):
     assert extracted.filter(F.col("status") == "ok").count() == 40
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the same key must join with ZERO exchanges
+    (the write-time shuffle replaces every query-time shuffle)."""
+    from readabilityimproved_spark.sources.io import write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # disable broadcast so the test exercises the bucketed (sort-merge)
+    # path -- at 10^12 rows neither side broadcasts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(docs, "t_docs_b", "doc_id", 8, sort_col="doc_id")
+        write_bucketed(emb, "t_emb_b", "doc_id", 8, sort_col="doc_id")
+        joined = spark.table("t_docs_b").join(spark.table("t_emb_b"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+        assert joined.count() == emb.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_emb_b")
+
+
 def test_sessionize_gap_compares_microseconds(spark):
     """An event 0.5s inside/outside the 30-min gap must sessionize by
     its MICROSECOND distance (second-truncated compare would merge the
