@@ -232,6 +232,67 @@ def test_pack_sequences_boundary_semantics(spark):
         assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
 
 
+def test_salted_topk_matches_python_reference_on_random_data(spark):
+    """Randomized cross-check against a pure-Python reference: skewed
+    group sizes, duplicate order keys, several seeds."""
+    import random
+
+    from readabilityimproved_spark.operators.relational import salted_topk
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        rows = []
+        for gid, size in enumerate([1, 3, 50, 200]):
+            for _ in range(size):
+                rows.append((f"g{gid}", rng.randrange(10_000), rng.randrange(20)))
+        df = spark.createDataFrame(rows, "grp string, id long, score long")
+        k = rng.choice((1, 4, 9))
+        got = {
+            tuple(r)
+            for r in salted_topk(
+                df, "grp",
+                [F.col("score").desc(), F.col("id").asc()],
+                k, "id", salt_buckets=8,
+            ).select("grp", "id", "score", "rank").collect()
+        }
+        want = set()
+        by_grp: dict[str, list] = {}
+        for g, i, s in rows:
+            by_grp.setdefault(g, []).append((i, s))
+        for g, members in by_grp.items():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (i, s) in enumerate(members[:k], start=1):
+                want.add((g, i, s, rank))
+        assert got == want, (seed, k)
+
+
+def test_pack_sequences_matches_python_reference_on_random_data(spark):
+    """Randomized cross-check of the pack-id rule (floor of exclusive
+    running token sum / budget) against a pure-Python reference,
+    including docs larger than the budget (pack-id jumps)."""
+    import random
+
+    from readabilityimproved_spark.operators.curation import pack_sequences
+
+    rng = random.Random(41)
+    rows = [(i, " ".join(["tok"] * rng.choice((1, 5, 80, 150)))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, streams = 100, 4
+    got = {
+        (r["doc_id"], r["stream"], r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(df, token_budget=budget, num_streams=streams).collect()
+    }
+    want = set()
+    per_stream: dict[int, int] = {}
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        stream = doc_id % streams
+        running = per_stream.get(stream, 0)
+        want.add((doc_id, stream, n, running // budget))
+        per_stream[stream] = running + n
+    assert got == want
+
+
 def test_salted_topk_equals_plain_window(spark):
     """The two-phase salted top-k must return EXACTLY the plain
     window's rows and ranks (it's an optimization, not an
