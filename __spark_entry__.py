@@ -1148,6 +1148,33 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+def q_similarity_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF: build_ivf_index materializes centroids + a
+    cluster-partitioned corpus, ivf_topk_from_index probes it with a
+    partition-pruned scan. Same arithmetic as similarity_ivf, so it
+    shares that oracle (results must be identical)."""
+    import os
+    import tempfile
+
+    from readabilityimproved_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_v1")
+    build_ivf_index(
+        emb, index_dir,
+        num_centroids=_IVF_CENTROIDS, kmeans_iters=_IVF_ITERS,
+        sample_mod=_IVF_SAMPLE_MOD,
+    )
+    queries = emb.filter(F.col("vec_id") < _TOPK_QUERIES)
+    return ivf_topk_from_index(
+        spark, index_dir, queries, k=_TOPK_K, nprobe=_IVF_NPROBE
+    )
+
+
 def _oracle_extract_article_spans() -> str:
     return f"""
 WITH base AS (
@@ -1641,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bits=_MULTIPROBE_BITS,
         ),
         "embedding_neardup": q_embedding_neardup,
+        "similarity_ivf_index": q_similarity_ivf_index,
         "similarity_ivf": lambda spark, sf: ivf_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES,
             num_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
@@ -1675,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_multiprobe": _oracle_ann_multiprobe(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "similarity_ivf": _oracle_ivf_topk(),
+        "similarity_ivf_index": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
         "sessionize_events": _oracle_sessionize_events(),
         "tpch_star_rollup": _oracle_tpch_star_rollup(),

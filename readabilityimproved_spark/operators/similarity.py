@@ -224,6 +224,137 @@ def kmeans_centroids(
     return cent.withColumn("cnorm", F.expr(_NORM2.format(a="cvec")))
 
 
+def _nearest_centroids(df: DataFrame, centroids: DataFrame, n: int, out_name: str) -> DataFrame:
+    """n nearest centroids per vector by the rounded-cosine ordering
+    (centroids broadcast; the vector side never shuffles)."""
+    sims = (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", F.expr(_DOT.format(a="vec", b="cvec")))
+        .withColumn(
+            "csim",
+            F.round(
+                F.col("cdot")
+                / (
+                    F.sqrt(F.col("norm2").cast("double"))
+                    * F.sqrt(F.col("cnorm").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .select("vid", F.col("cent_id").alias(out_name))
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    num_centroids: int | None = 8,
+    kmeans_iters: int = 2,
+    sample_mod: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: ``{index_dir}/centroids`` plus the
+    corpus (scaled vectors + norms) written PARTITIONED BY cluster to
+    ``{index_dir}/corpus``.
+
+    Build-once / query-many: at 10^12 vectors the k-means + assignment
+    pass is the expensive step and must not be re-paid per query — and
+    because the corpus is laid out by cluster, a query's scan is
+    PARTITION-PRUNED to its nprobe clusters' files (reading
+    nprobe/num_centroids of the index, not filtering it post-scan).
+    Exact same arithmetic as ivf_topk, so results are identical
+    (pinned by the shared driver oracle)."""
+    import math
+
+    if num_centroids is None:
+        num_centroids = max(2, int(math.isqrt(embeddings.count())))
+    scaled = _with_scaled(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
+    ).select("vid", "vec", "norm2")
+    centroids = kmeans_centroids(
+        embeddings, num_centroids, kmeans_iters, sample_mod, id_col, emb_col
+    )
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assignment = _nearest_centroids(scaled, centroids, 1, "cluster")
+    corpus = scaled.join(assignment, "vid").select(
+        F.col("vid").alias("cand_id"),
+        "cluster",
+        F.col("vec").alias("evec"),
+        F.col("norm2").alias("enorm"),
+    )
+    corpus.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{index_dir}/corpus")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (build_ivf_index).
+
+    The probed cluster ids are a bounded control-plane collect
+    (num_queries x nprobe values), turned into an isin() partition
+    filter so the corpus scan reads ONLY those clusters' files."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    qscaled = _with_scaled(
+        queries.select(F.col(id_col).alias("vid"), F.col(emb_col))
+    ).select("vid", "vec", "norm2")
+    probes = _nearest_centroids(qscaled, centroids, nprobe, "cluster")
+    probe_clusters = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )
+    qside = (
+        qscaled.select(
+            F.col("vid").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm2").alias("qnorm"),
+        )
+        .join(probes.withColumnRenamed("vid", "query_id"), "query_id")
+    )
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    scored = (
+        corpus.join(F.broadcast(qside), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_DOT.format(a="qvec", b="evec")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("qnorm").cast("double"))
+                    * F.sqrt(F.col("enorm").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -259,29 +390,7 @@ def ivf_topk(
     )
 
     def nearest(df, n, out_name):
-        sims = (
-            df.crossJoin(F.broadcast(centroids))
-            .withColumn("cdot", F.expr(_DOT.format(a="vec", b="cvec")))
-            .withColumn(
-                "csim",
-                F.round(
-                    F.col("cdot")
-                    / (
-                        F.sqrt(F.col("norm2").cast("double"))
-                        * F.sqrt(F.col("cnorm").cast("double"))
-                    ),
-                    6,
-                ),
-            )
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("csim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            sims.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select("vid", F.col("cent_id").alias(out_name))
-        )
+        return _nearest_centroids(df, centroids, n, out_name)
 
     assignment = nearest(scaled, 1, "cluster")
     corpus = scaled.join(assignment, "vid").select(

@@ -359,6 +359,28 @@ def test_mixture_expand_epoch_counts(spark):
     assert 0.3 < upsampled / 300 < 0.7  # Bernoulli(0.5) rate
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The persisted-index query must read ONLY the probed clusters'
+    partition dirs (PartitionFilters on cluster), and return exactly
+    what the index-free ivf_topk computes."""
+    from readabilityimproved_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf_topk_from_index(spark, idx, queries, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan is the only partitioned source in this plan
+    assert "PartitionFilters: [cluster" in plan, plan[:3000]
+    want = {tuple(r) for r in ivf_topk(emb, k=5, num_queries=10).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+
+
 def test_kmeans_init_avoids_global_window(spark):
     """Centroid init must use a distributed top-k (TakeOrderedAndProject),
     never a row_number over the full unpartitioned sample."""
