@@ -585,7 +585,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pack_sequences() -> str:
+def _pack_ctes() -> str:
     toks = sqlgen.token_count_sql("text", DUCKDB)
     return f"""
 WITH t AS (
@@ -597,10 +597,36 @@ WITH t AS (
          CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id)
               AS BIGINT) AS running
   FROM t
-)
+)"""
+
+
+def _oracle_pack_sequences() -> str:
+    return _pack_ctes() + f"""
 SELECT doc_id, stream, n_tokens,
        CAST((running - n_tokens) // {_PACK_BUDGET} AS INT) AS pack_id
 FROM r
+"""
+
+
+def q_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import materialize_packs
+
+    return materialize_packs(
+        _docs(spark, sf_dir),
+        token_budget=_PACK_BUDGET,
+        num_streams=_PACK_STREAMS,
+    )
+
+
+def _oracle_materialize_packs() -> str:
+    return _pack_ctes() + f"""
+SELECT stream,
+       CAST((running - n_tokens) // {_PACK_BUDGET} AS INT) AS pack_id,
+       string_agg(text, ' ' ORDER BY doc_id) AS pack_text,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       count(*) AS n_docs
+FROM r JOIN documents USING (doc_id)
+GROUP BY 1, 2
 """
 
 
@@ -1656,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_expand": q_mixture_expand,
         "vocab_topk": q_vocab_topk,
         "inverted_index": q_inverted_index,
+        "materialize_packs": q_materialize_packs,
         # --- similarity tier -----------------------------------------------
         "similarity_topk": lambda spark, sf: cosine_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
@@ -1733,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_expand": _oracle_mixture_expand(),
         "vocab_topk": _oracle_vocab_topk(),
         "inverted_index": _oracle_inverted_index(),
+        "materialize_packs": _oracle_materialize_packs(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),

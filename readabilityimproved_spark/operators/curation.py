@@ -102,6 +102,36 @@ def mixture_expand(
     )
 
 
+def materialize_packs(
+    docs: DataFrame,
+    token_budget: int = 512,
+    num_streams: int = 8,
+    sep: str = " ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn pack assignments (pack_sequences) into training rows: one
+    row per (stream, pack_id) holding the documents' concatenated text
+    in id order, the exact token total, and the member count.
+
+    The collect_list is bounded by pack membership (a pack holds at
+    most budget/min_doc_tokens + 1 documents), so the aggregation is
+    safe at any corpus size; one shuffle on the (stream, pack_id) key."""
+    packed = pack_sequences(
+        docs, token_budget=token_budget, num_streams=num_streams,
+        id_col=id_col, text_col=text_col,
+    )
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(packed, id_col)
+    members = F.array_sort(F.collect_list(F.struct(id_col, text_col)))
+    return joined.groupBy("stream", "pack_id").agg(
+        F.array_join(
+            F.transform(members, lambda s: s[text_col]), sep
+        ).alias("pack_text"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     top_n: int = 100,
