@@ -451,7 +451,7 @@ def _oracle_event_window_agg() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(abs(value) * 1000000 + 0.5) * sign(value) AS BIGINT)) AS BIGINT)
            AS sum_value_micros
 FROM events GROUP BY 1, 2
 """
@@ -504,7 +504,7 @@ WITH o AS (
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(abs(value) * 1000000 + 0.5) * sign(value) AS BIGINT)) AS BIGINT)
            AS sum_value_micros
 FROM s GROUP BY 1, 2
 """
@@ -582,14 +582,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         token_budget=_PACK_BUDGET,
         num_streams=_PACK_STREAMS,
+        portable_hash=True,
     )
 
 
 def _pack_ctes() -> str:
+    # stream = hash-bucketed (md5-slice portable hash, same scheme as
+    # the sampling oracles) -- NOT doc_id % n, which collapses striding
+    # or string ids (ADVICE r3)
     toks = sqlgen.token_count_sql("text", DUCKDB)
+    h = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '_pk'),"
+         " 1, 15)) AS BIGINT)")
     return f"""
 WITH t AS (
-  SELECT doc_id, CAST(doc_id % {_PACK_STREAMS} AS INT) AS stream,
+  SELECT doc_id, CAST({h} % {_PACK_STREAMS} AS INT) AS stream,
          CAST({toks} AS INT) AS n_tokens
   FROM documents
 ), r AS (
@@ -615,6 +621,7 @@ def q_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         token_budget=_PACK_BUDGET,
         num_streams=_PACK_STREAMS,
+        portable_hash=True,
     )
 
 
@@ -655,9 +662,19 @@ _INDEX_CAP = 390  # splits the sf0.01 df distribution: hot tokens dropped
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract: postings are emitted space-joined (scalar), not
+    array<string> -- the driver's pandas canonicalizer sorts/hashes
+    column values and cannot handle list cells (round-3 red row)."""
     from readabilityimproved_spark.operators.curation import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), max_postings=_INDEX_CAP)
+    idx = inverted_index(_docs(spark, sf_dir), max_postings=_INDEX_CAP)
+    return idx.select(
+        "token",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), " ").alias(
+            "postings"
+        ),
+    )
 
 
 def _oracle_inverted_index() -> str:
@@ -671,7 +688,8 @@ WITH t AS (
          CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df
   FROM t WHERE token <> ''
 )
-SELECT token, df, list(doc_id ORDER BY doc_id) AS postings
+SELECT token, df,
+       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
 FROM c WHERE df <= {_INDEX_CAP} GROUP BY token, df
 """
 
@@ -757,12 +775,72 @@ def _oracle_tpch_star_rollup() -> str:
     # every DuckDB sum over BIGINT widens to HUGEINT -> cast back
     return """
 SELECT n_name, o_orderpriority, count(*) AS n_orders,
-       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(abs(o_totalprice) * 100 + 0.5) * sign(o_totalprice) AS BIGINT)) AS BIGINT)
            AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1, 2
+"""
+
+
+_BKT_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sources.io.write_bucketed): orders and
+    customer are persisted bucketed on the join key, then joined with
+    NO join-key exchange (the shuffle was paid once at write time --
+    THE lever for repeated joins at 10^12 rows; the zero-exchange plan
+    itself is pinned by tests/test_round3.py / test_round4.py, this row
+    pins the RESULTS through the bucketed path).
+
+    The 5-row rollup is checkpointed eagerly so the temp catalog tables
+    can be dropped before returning (the driver collects lazily)."""
+    import re
+
+    from readabilityimproved_spark.operators.relational import _cents
+    from readabilityimproved_spark.sources.io import write_bucketed
+
+    # per-application table names: concurrent runs share spark-warehouse
+    app = re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    t_ord, t_cust = f"bkt_orders_{app}", f"bkt_customer_{app}"
+    write_bucketed(
+        _tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_ord, bucket_col="o_custkey", num_buckets=_BKT_BUCKETS,
+        sort_col="o_custkey",
+    )
+    write_bucketed(
+        _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_cust, bucket_col="c_custkey", num_buckets=_BKT_BUCKETS,
+        sort_col="c_custkey",
+    )
+    try:
+        joined = spark.table(t_ord).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        out = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_cents("o_totalprice")).alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+    return out
+
+
+def _oracle_bucketed_join() -> str:
+    return """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(abs(o_totalprice) * 100 + 0.5) * sign(o_totalprice) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
 """
 
 
@@ -782,7 +860,7 @@ def q_tpch_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_tpch_topk_per_segment() -> str:
-    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    cents = "CAST(floor(abs(o_totalprice) * 100 + 0.5) * sign(o_totalprice) AS BIGINT)"
     return f"""
 SELECT c_mktsegment, o_orderkey, price_cents, rank FROM (
   SELECT c_mktsegment, o_orderkey, {cents} AS price_cents,
@@ -827,11 +905,12 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_tpch_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(abs(l_quantity) * 100 + 0.5) * sign(l_quantity) AS BIGINT)) AS BIGINT)
            AS sum_qty_cents,
-       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(abs(l_extendedprice) * 100 + 0.5) * sign(l_extendedprice) AS BIGINT)) AS BIGINT)
            AS sum_base_cents,
-       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+       CAST(sum(CAST(floor(abs(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                 * sign(l_extendedprice * (1 - l_discount))
                      AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
@@ -1189,7 +1268,15 @@ def q_similarity_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_v1")
+    # the application id makes the path unique PER DRIVER RUN: a fixed
+    # shared path let two concurrent runs overwrite the index under each
+    # other's live partition-pruned scans (ADVICE r3). Within one run the
+    # path is stable, so repeated invocations (cold/warm bench) exercise
+    # the overwrite path without piling up directories.
+    app_id = spark.sparkContext.applicationId
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"ivf_index_{tag}_{app_id}"
+    )
     build_ivf_index(
         emb, index_dir,
         num_centroids=_IVF_CENTROIDS, kmeans_iters=_IVF_ITERS,
@@ -1708,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_topk_per_segment": q_tpch_topk_per_segment,
         "tpch_customers_no_orders": q_tpch_customers_no_orders,
         "tpch_pricing_summary": q_tpch_pricing_summary,
+        "bucketed_join": q_bucketed_join,
         "stream_dedup_twin": q_stream_dedup_twin,
         # --- multimodal tier ------------------------------------------------
         "media_features": q_media_features,
@@ -1737,6 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),
         "tpch_pricing_summary": _oracle_tpch_pricing_summary(),
+        "bucketed_join": _oracle_bucketed_join(),
         "stream_dedup_twin": _oracle_stream_dedup_twin(),
         "media_features": _oracle_media_features(),
         "media_resize": _oracle_media_resize(),

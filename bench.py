@@ -170,8 +170,20 @@ def main() -> None:
         queries[name](spark, SF_DIR).count()
         warm[f"q_{name}"] = round(time.time() - t0, 3)
     # pipeline phase LAST: its partitioned writes churn heap/page cache
-    # and were inflating the cold first-run numbers of the queries above
-    pipe_sec, pipe_docs = timed_pipeline(spark)
+    # and were inflating the cold first-run numbers of the queries above.
+    # Repeated reps with the full spread published: the r3 driver run
+    # measured this leg 28% below r2 while the in-round run was faster --
+    # a single-shot number can't separate host jitter from regression.
+    pipe_reps = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_REPS", "3")))
+    pipe_runs = []
+    for i in range(pipe_reps):
+        if i:
+            time.sleep(2)
+        sec_i, pipe_docs = timed_pipeline(spark)
+        pipe_runs.append(round(sec_i, 3))
+    import statistics as _st
+
+    pipe_sec = _st.median(pipe_runs)
     spark.stop()
 
     # --- scaling: pinned N=2 vs 4N=8 subprocesses, repeated for spread ----
@@ -208,6 +220,8 @@ def main() -> None:
             "sec": round(pipe_sec, 3),
             "docs": pipe_docs,
             "docs_per_sec": round(pipe_docs / pipe_sec, 1),
+            "runs_sec": pipe_runs,  # median published; spread = jitter
+            "docs_per_sec_best": round(pipe_docs / min(pipe_runs), 1),
             "includes": "wave checkpointing, parquet writes, lineage/metrics",
         },
         "scaling": {
@@ -250,7 +264,7 @@ without a shuffle.
 |---|---|
 | local[{sc['full_width_cores']}] cold first run (what the driver measures) | **{result['docs_per_sec_cold']:,}** |
 | local[{sc['full_width_cores']}] warm best-of-3 | {result['docs_per_sec']:,} |
-| full wave-checkpointed pipeline (incl. parquet writes + lineage) | {result['pipeline']['docs_per_sec']:,} |
+| full wave-checkpointed pipeline (incl. parquet writes + lineage; median of {len(result['pipeline'].get('runs_sec', [0]))} reps, spread {result['pipeline'].get('runs_sec', '--')} s) | {result['pipeline']['docs_per_sec']:,} |
 
 Kernel run spread this measurement (first = cold):
 {result['kernel_runs_sec']} s. Host throughput jitters +/-15%

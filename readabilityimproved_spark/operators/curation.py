@@ -34,18 +34,21 @@ from .dedup import _gram_array
 SAMPLE_M = 1_000_000
 
 
-def _hash_bucket(col: F.Column, salt: str, portable: bool) -> F.Column:
-    """Deterministic bucket in [0, SAMPLE_M) from a column + salt.
+def _hash64(col: F.Column, salt: str, portable: bool) -> F.Column:
+    """Deterministic 64-bit-ish hash of a column + salt.
 
     portable=True uses the 15-hex md5 slice (bit-identical in DuckDB,
-    same scheme as dedup._base_hash) so sampling decisions are
-    oracle-checkable; production default is xxhash64 (JVM-native)."""
+    same scheme as dedup._base_hash) so decisions are oracle-checkable;
+    production default is xxhash64 (JVM-native)."""
     s = F.concat(col.cast("string"), F.lit(f"_{salt}"))
     if portable:
-        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    else:
-        h = F.xxhash64(s)
-    return F.pmod(h, F.lit(SAMPLE_M))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(s)
+
+
+def _hash_bucket(col: F.Column, salt: str, portable: bool) -> F.Column:
+    """Deterministic bucket in [0, SAMPLE_M) from a column + salt."""
+    return F.pmod(_hash64(col, salt, portable), F.lit(SAMPLE_M))
 
 
 def deterministic_sample(
@@ -109,6 +112,7 @@ def materialize_packs(
     sep: str = " ",
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Turn pack assignments (pack_sequences) into training rows: one
     row per (stream, pack_id) holding the documents' concatenated text
@@ -119,7 +123,7 @@ def materialize_packs(
     safe at any corpus size; one shuffle on the (stream, pack_id) key."""
     packed = pack_sequences(
         docs, token_budget=token_budget, num_streams=num_streams,
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, portable_hash=portable_hash,
     )
     joined = docs.select(F.col(id_col), F.col(text_col)).join(packed, id_col)
     members = F.array_sort(F.collect_list(F.struct(id_col, text_col)))
@@ -240,6 +244,7 @@ def pack_sequences(
     num_streams: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Assign each document a (stream, pack_id) so every pack holds a
     contiguous run of documents whose combined whitespace-token count
@@ -250,9 +255,18 @@ def pack_sequences(
     exact at any scale (no float accumulation). ``num_streams`` bounds
     the packing parallelism (one window task per stream) — size it to
     ~4x the cluster's cores in production; the default 8 is the
-    oracle-parity test setting."""
+    oracle-parity test setting.
+
+    Streams are bucketed by a HASH of the id (never ``pmod(id, n)``:
+    string ids would yield NULL pmod, and numeric ids striding by a
+    multiple of ``num_streams`` would collapse into one stream — the
+    single-window-task straggler this operator exists to avoid);
+    ``portable_hash=True`` uses the md5-slice hash so the assignment is
+    bit-identical in the DuckDB oracle."""
     n_tokens = F.expr(sqlgen.token_count_sql(text_col, sqlgen.SPARK)).cast("int")
-    stream = F.pmod(F.col(id_col), F.lit(num_streams)).cast("int")
+    stream = F.pmod(
+        _hash64(F.col(id_col), "pk", portable_hash), F.lit(num_streams)
+    ).cast("int")
     t = docs.select(
         F.col(id_col), stream.alias("stream"), n_tokens.alias("n_tokens")
     )

@@ -113,8 +113,15 @@ def ngram_jaccard_pairs(
 
     Self-join on the shingle key (shuffle-heavy; see module docstring for
     the LSH alternative at scale). Pairs are emitted once (id_a < id_b).
+
+    The shingle table feeds both the self-join branches and the per-doc
+    counts, so it is materialized ONCE via localCheckpoint -- NOT
+    persist()/cache(), whose blocks live in the session CacheManager
+    until an explicit unpersist no lazy consumer can trigger (the same
+    leak fixed in minhash_verified_pairs; checkpoint blocks are
+    ContextCleaner-managed and released on GC of the DataFrame).
     """
-    sh = _shingles(df, id_col, text_col, n).cache()
+    sh = _shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -15,8 +15,9 @@ Scale design (100 TB / 10^12-row fact tables):
   map-side partial aggregation, so the shuffle carries one row per
   task × group, not per input row);
 * **exact money arithmetic**: all double-valued measures are scaled to
-  integer cents *before* summation (``floor(x*100 + 0.5)`` — IEEE
-  multiply+floor is deterministic, and BIGINT addition is associative),
+  integer cents *before* summation (sign-aware half-away-from-zero
+  ``floor(|x|*100 + 0.5)*sign(x)`` — IEEE multiply+floor is
+  deterministic, and BIGINT addition is associative),
   so results are independent of partitioning/summation order — a
   ``sum(double)`` changes value when the cluster size changes;
 * **top-k-per-group** uses one window over (group, order) — a single
@@ -33,9 +34,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def signed_scaled_int(col: F.Column, scale: float) -> F.Column:
+    """Deterministic half-AWAY-FROM-ZERO integer scaling of a double.
+
+    ``floor(x*scale + 0.5)`` alone is half-up toward +infinity, which
+    rounds NEGATIVE amounts (refunds, negative event values) the wrong
+    way (-1.005 -> -100 cents instead of -101); rounding |x| and
+    re-applying the sign is symmetric, matching conventional money
+    rounding. Oracles use the identical formula (sign-aware on both
+    sides), so parity is by construction."""
+    return (F.floor(F.abs(col) * scale + F.lit(0.5)) * F.signum(col)).cast(
+        "bigint"
+    )
+
+
 def _cents(col: str) -> F.Column:
     """Exact integer cents from a 2-decimal DOUBLE money column."""
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+    return signed_scaled_int(F.col(col), 100)
 
 
 def salted_topk(
@@ -154,9 +169,7 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         .agg(
             F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
             F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
-            F.sum(F.floor(disc * 100 + F.lit(0.5)).cast("bigint")).alias(
-                "sum_disc_cents"
-            ),
+            F.sum(signed_scaled_int(disc, 100)).alias("sum_disc_cents"),
             F.count("*").alias("count_order"),
         )
     )

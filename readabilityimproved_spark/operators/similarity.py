@@ -252,6 +252,30 @@ def _nearest_centroids(df: DataFrame, centroids: DataFrame, n: int, out_name: st
     )
 
 
+def _resolve_num_centroids(embeddings: DataFrame, num_centroids) -> int:
+    """Resolve ``num_centroids=None`` to ~sqrt(N) WITHOUT a corpus
+    scan: the round-3 version ran a full ``embeddings.count()`` -- an
+    extra pass over 10^12 rows just to size k. N is taken from the
+    optimized plan's CBO row-count statistic when one exists (ANALYZE'd
+    tables, local relations); a plain file scan has no row count, and
+    the only way to get one would be that forbidden pass -- so the
+    caller must size k explicitly (~sqrt(N) is the standard IVF
+    sizing)."""
+    import math
+
+    if num_centroids is not None:
+        return num_centroids
+    stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    if row_count.isDefined():
+        return max(2, int(math.isqrt(int(str(row_count.get())))))
+    raise ValueError(
+        "num_centroids=None needs a plan row-count statistic (ANALYZE the "
+        "table) -- on a plain file scan, pass num_centroids explicitly "
+        "(~sqrt(N)); implicit sizing would cost a full corpus count() pass"
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -272,10 +296,7 @@ def build_ivf_index(
     nprobe/num_centroids of the index, not filtering it post-scan).
     Exact same arithmetic as ivf_topk, so results are identical
     (pinned by the shared driver oracle)."""
-    import math
-
-    if num_centroids is None:
-        num_centroids = max(2, int(math.isqrt(embeddings.count())))
+    num_centroids = _resolve_num_centroids(embeddings, num_centroids)
     scaled = _with_scaled(
         embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
     ).select("vid", "vec", "norm2")
@@ -370,7 +391,8 @@ def ivf_topk(
     every vector to its nearest centroid, then each query probes only
     its ``nprobe`` nearest clusters.
 
-    ``num_centroids=None`` defaults to ~sqrt(N) (one count job), the
+    ``num_centroids=None`` defaults to ~sqrt(N) from plan statistics
+    (never a count() pass -- see _resolve_num_centroids), the
     standard IVF sizing -- at 10^12 rows that is ~10^6 clusters, keeping
     both the centroid broadcast (~10^6 * dim ints) and the per-cluster
     list (~10^6 vectors) tractable; the search then touches
@@ -378,10 +400,7 @@ def ivf_topk(
     broadcast-join map over the corpus -- the corpus itself never
     shuffles on vectors.
     """
-    import math
-
-    if num_centroids is None:
-        num_centroids = max(2, int(math.isqrt(embeddings.count())))
+    num_centroids = _resolve_num_centroids(embeddings, num_centroids)
     scaled = _with_scaled(
         embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col))
     ).select("vid", "vec", "norm2")

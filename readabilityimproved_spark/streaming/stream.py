@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.relational import signed_scaled_int
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -87,7 +89,7 @@ def windowed_event_metrics(
             # dependent across engines/partitionings; micros-scaled BIGINT
             # is associative, so the result is deterministic at any
             # parallelism (same discipline as the similarity tier)
-            F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+            F.sum(signed_scaled_int(F.col("value"), 1e6)).alias(
                 "sum_value_micros"
             ),
             F.approx_count_distinct("user_id").alias("approx_users"),
@@ -262,7 +264,7 @@ def sessionize_events_batch(
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
         # exact scaled-integer sum (see windowed_event_metrics)
-        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+        F.sum(signed_scaled_int(F.col("value"), 1e6)).alias(
             "sum_value_micros"
         ),
     )

@@ -269,7 +269,10 @@ def test_salted_topk_matches_python_reference_on_random_data(spark):
 def test_pack_sequences_matches_python_reference_on_random_data(spark):
     """Randomized cross-check of the pack-id rule (floor of exclusive
     running token sum / budget) against a pure-Python reference,
-    including docs larger than the budget (pack-id jumps)."""
+    including docs larger than the budget (pack-id jumps). Streams are
+    hash-bucketed (round 4): the portable md5-slice rule is replicated
+    here byte-for-byte in Python."""
+    import hashlib
     import random
 
     from readabilityimproved_spark.operators.curation import pack_sequences
@@ -278,15 +281,22 @@ def test_pack_sequences_matches_python_reference_on_random_data(spark):
     rows = [(i, " ".join(["tok"] * rng.choice((1, 5, 80, 150)))) for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     budget, streams = 100, 4
+
+    def stream_of(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}_pk".encode()).hexdigest()[:15]
+        return int(h, 16) % streams
+
     got = {
         (r["doc_id"], r["stream"], r["n_tokens"], r["pack_id"])
-        for r in pack_sequences(df, token_budget=budget, num_streams=streams).collect()
+        for r in pack_sequences(
+            df, token_budget=budget, num_streams=streams, portable_hash=True
+        ).collect()
     }
     want = set()
     per_stream: dict[int, int] = {}
     for doc_id, text in sorted(rows):
         n = len(text.split())
-        stream = doc_id % streams
+        stream = stream_of(doc_id)
         running = per_stream.get(stream, 0)
         want.add((doc_id, stream, n, running // budget))
         per_stream[stream] = running + n
