@@ -758,6 +758,132 @@ FROM n WHERE n_repeats > 0
 
 
 # ---------------------------------------------------------------------------
+# PDF/layout tier (operators/layout.py): deterministic fake decode ->
+# reading-order reconstruction -> furniture strip -> span shape
+# ---------------------------------------------------------------------------
+
+def q_layout_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded two-column reading order over the deterministic fake
+    block layout (naive y-order interleaves the columns; the operator
+    must emit title, full left column, then right column per band)."""
+    from readabilityimproved_spark.operators.layout import (
+        fake_pdf_blocks,
+        reading_order,
+    )
+
+    blocks = fake_pdf_blocks(_docs(spark, sf_dir), with_footer=False)
+    return reading_order(blocks).select(
+        "doc_id", "page", "block_id", "order_idx"
+    )
+
+
+def q_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout tier end-to-end: fake decode with recurring footers ->
+    furniture strip -> reading order -> the engine's span shape."""
+    from readabilityimproved_spark.operators.layout import (
+        fake_pdf_blocks,
+        layout_spans,
+    )
+
+    blocks = fake_pdf_blocks(_docs(spark, sf_dir), with_footer=True)
+    return layout_spans(blocks)
+
+
+def _layout_block_ctes(with_footer: bool) -> str:
+    """DuckDB replica of fake_pdf_blocks (+footer): CTEs ending in
+    ``blocks``. Block ids derive from token subscripts (lateral
+    generate_series is not available in this DuckDB)."""
+    footer = """
+, footer AS (
+  SELECT DISTINCT doc_id, page, 100000 + page AS block_id,
+         36.0 AS x0, 770.0 AS y0, 576.0 AS x1, 790.0 AS y1,
+         'confidential draft p. ' || CAST(page + 1 AS VARCHAR) AS text
+  FROM content
+), blocks AS (SELECT * FROM content UNION ALL SELECT * FROM footer)
+""" if with_footer else ", blocks AS (SELECT * FROM content)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), ti AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS t FROM d
+), bi AS (
+  SELECT DISTINCT doc_id, CAST((t - 1) // 4 AS INT) AS block_id FROM ti
+), content AS (
+  SELECT d.doc_id,
+         CAST(block_id // 7 AS INT) AS page,
+         block_id,
+         CASE WHEN block_id % 7 = 0 THEN 36.0
+              WHEN (block_id % 7 - 1) % 2 = 0 THEN 36.0
+              ELSE 324.0 END AS x0,
+         CASE WHEN block_id % 7 = 0 THEN 40.0
+              ELSE 100.0 + ((block_id % 7 - 1) // 2) * 200 END AS y0,
+         CASE WHEN block_id % 7 = 0 THEN 576.0
+              WHEN (block_id % 7 - 1) % 2 = 0 THEN 288.0
+              ELSE 576.0 END AS x1,
+         CASE WHEN block_id % 7 = 0 THEN 60.0
+              ELSE 280.0 + ((block_id % 7 - 1) // 2) * 200 END AS y1,
+         array_to_string(
+             list_slice(toks, block_id * 4 + 1, block_id * 4 + 4), ' '
+         ) AS text
+  FROM bi JOIN d USING (doc_id)
+){footer}"""
+
+
+_LAYOUT_ORDER_SQL = """
+, ro AS (
+  SELECT doc_id, page, block_id, text, y0, x0,
+         CASE WHEN x0 < 306 AND x1 > 306 THEN -1
+              WHEN x1 <= 306 THEN 0 ELSE 1 END AS c,
+         sum(CASE WHEN x0 < 306 AND x1 > 306 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY page, y0, x0, block_id
+                 ROWS UNBOUNDED PRECEDING) AS band
+  FROM {src}
+), idx AS (
+  SELECT doc_id, page, block_id, text,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY page, band, c, y0, x0, block_id) AS INT) AS order_idx
+  FROM ro
+)"""
+
+
+def _oracle_layout_reading_order() -> str:
+    return (
+        _layout_block_ctes(with_footer=False)
+        + _LAYOUT_ORDER_SQL.format(src="blocks")
+        + "\nSELECT doc_id, page, block_id, order_idx FROM idx\n"
+    )
+
+
+def _oracle_layout_spans() -> str:
+    strip = """
+, keyed AS (
+  SELECT *, regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g') AS norm,
+         CAST(floor(y0 / 20.0) AS BIGINT) AS yb
+  FROM blocks
+), furn AS (
+  SELECT doc_id, norm, yb FROM keyed
+  GROUP BY doc_id, norm, yb HAVING count(DISTINCT page) >= 2
+), kept AS (
+  SELECT k.doc_id, k.page, k.block_id, k.x0, k.y0, k.x1, k.y1, k.text
+  FROM keyed k
+  WHERE NOT EXISTS (SELECT 1 FROM furn f
+                    WHERE f.doc_id = k.doc_id AND f.norm = k.norm
+                      AND f.yb = k.yb)
+)"""
+    return (
+        _layout_block_ctes(with_footer=True)
+        + strip
+        + _LAYOUT_ORDER_SQL.format(src="kept")
+        + """
+SELECT doc_id, 'text' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref,
+       CAST(order_idx - 1 AS INT) AS span_offset
+FROM idx
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # relational tier over the shipped TPC-H-ish tables (operators/relational.py)
 # ---------------------------------------------------------------------------
 
@@ -1797,6 +1923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "bucketed_join": q_bucketed_join,
         "stream_dedup_twin": q_stream_dedup_twin,
+        # --- PDF/layout tier ------------------------------------------------
+        "layout_reading_order": q_layout_reading_order,
+        "layout_spans": q_layout_spans,
         # --- multimodal tier ------------------------------------------------
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -1827,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": _oracle_tpch_pricing_summary(),
         "bucketed_join": _oracle_bucketed_join(),
         "stream_dedup_twin": _oracle_stream_dedup_twin(),
+        "layout_reading_order": _oracle_layout_reading_order(),
+        "layout_spans": _oracle_layout_spans(),
         "media_features": _oracle_media_features(),
         "media_resize": _oracle_media_resize(),
         "media_frames": _oracle_media_frames(),

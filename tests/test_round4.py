@@ -85,6 +85,126 @@ def test_pack_streams_hash_bucketed(spark):
     assert pout.filter(F.col("stream").isNull()).count() == 0
 
 
+def _mkblocks(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, page int, block_id int, x0 double, y0 double,"
+        " x1 double, y1 double, text string",
+    )
+
+
+def test_reading_order_uninterleaves_columns(spark):
+    """Newspaper order: title band, whole left column, then right
+    column — NOT naive y-order (which interleaves L/R)."""
+    from readabilityimproved_spark.operators.layout import reading_order
+
+    blocks = _mkblocks(spark, [
+        (1, 0, 0, 36.0, 40.0, 576.0, 60.0, "title"),
+        (1, 0, 1, 36.0, 100.0, 288.0, 280.0, "L1"),
+        (1, 0, 2, 324.0, 100.0, 576.0, 280.0, "R1"),
+        (1, 0, 3, 36.0, 300.0, 288.0, 480.0, "L2"),
+        (1, 0, 4, 324.0, 300.0, 576.0, 480.0, "R2"),
+    ])
+    got = [
+        r["text"]
+        for r in reading_order(blocks).orderBy("order_idx").collect()
+    ]
+    assert got == ["title", "L1", "L2", "R1", "R2"]
+
+
+def test_reading_order_full_width_block_opens_band(spark):
+    """A mid-page full-width block (section rule / figure) closes the
+    column band above it: columns do NOT flow across it."""
+    from readabilityimproved_spark.operators.layout import reading_order
+
+    blocks = _mkblocks(spark, [
+        (7, 0, 1, 36.0, 100.0, 288.0, 200.0, "L-above"),
+        (7, 0, 2, 324.0, 100.0, 576.0, 200.0, "R-above"),
+        (7, 0, 3, 36.0, 300.0, 576.0, 320.0, "divider"),
+        (7, 0, 4, 36.0, 400.0, 288.0, 500.0, "L-below"),
+        (7, 0, 5, 324.0, 400.0, 576.0, 500.0, "R-below"),
+        # page order beats geometry
+        (7, 1, 6, 36.0, 100.0, 288.0, 200.0, "p2"),
+    ])
+    got = [
+        r["text"]
+        for r in reading_order(blocks).orderBy("order_idx").collect()
+    ]
+    assert got == ["L-above", "R-above", "divider", "L-below", "R-below", "p2"]
+
+
+def test_strip_repeated_furniture_normalizes_page_numbers(spark):
+    """'Page 3' == 'Page 17' after digit collapsing; repeated footers
+    drop, body text at other y positions survives, and a single-page
+    doc keeps its footer (nothing recurs)."""
+    from readabilityimproved_spark.operators.layout import (
+        strip_repeated_furniture,
+    )
+
+    blocks = _mkblocks(spark, [
+        (1, 0, 1, 36.0, 100.0, 288.0, 200.0, "body one"),
+        (1, 0, 90, 36.0, 770.0, 576.0, 790.0, "Page 3"),
+        (1, 1, 2, 36.0, 100.0, 288.0, 200.0, "body two"),
+        (1, 1, 91, 36.0, 772.0, 576.0, 792.0, "Page 17"),
+        (2, 0, 1, 36.0, 100.0, 288.0, 200.0, "solo body"),
+        (2, 0, 90, 36.0, 770.0, 576.0, 790.0, "Page 1"),
+    ])
+    kept = {
+        (r["doc_id"], r["text"])
+        for r in strip_repeated_furniture(blocks).collect()
+    }
+    assert kept == {
+        (1, "body one"), (1, "body two"),
+        (2, "solo body"), (2, "Page 1"),
+    }
+
+
+def test_layout_spans_dense_offsets_and_plumbing(spark):
+    """End-to-end fake decode -> strip -> order -> span shape: offsets
+    dense from 0 per doc; multi-page docs lose their footers."""
+    import pytest as _pytest
+
+    from readabilityimproved_spark.operators.layout import (
+        decode_pdf_blocks,
+        fake_pdf_blocks,
+        layout_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(60))),  # 15 blocks, 3 pages
+         (2, "a b c")],                              # 1 block, 1 page
+        "doc_id long, text string",
+    )
+    spans = layout_spans(fake_pdf_blocks(docs)).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r["span_offset"])
+    for offsets in by_doc.values():
+        assert sorted(offsets) == list(range(len(offsets)))
+    texts1 = {r["text"] for r in spans if r["doc_id"] == 1}
+    assert not any("confidential" in t for t in texts1)  # furniture gone
+    texts2 = {r["text"] for r in spans if r["doc_id"] == 2}
+    assert any("confidential" in t for t in texts2)  # single page keeps it
+
+    with _pytest.raises(NotImplementedError, match="pdfminer|PyMuPDF"):
+        decode_pdf_blocks(docs)
+
+
+def test_reading_order_single_exchange(spark):
+    """Both layout windows share the doc_id partitioning: ONE exchange
+    in the plan (the tier's whole shuffle budget per query)."""
+    from readabilityimproved_spark.operators.layout import (
+        fake_pdf_blocks,
+        reading_order,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = reading_order(
+        fake_pdf_blocks(docs, with_footer=False)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_pipeline_wave_listing_batched(spark, tmp_path, monkeypatch):
     """The committed-wave existence check must issue ONE filesystem
     listing per wave, not one exists() probe per partition (O(parts)
