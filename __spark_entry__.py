@@ -1753,6 +1753,77 @@ WHERE a.id < b.id
 """
 
 
+def _simhash_neardup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair source for the cluster queries: identical to
+    q_simhash_neardup's constructed corpus."""
+    return q_simhash_neardup(spark, sf_dir)
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the simhash near-dup pairs: the
+    transitive closure Spark has no recursive CTE for, computed by
+    iterative min-label propagation (operators/graph.py); the oracle
+    replays it as a DuckDB recursive CTE."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    return neardup_clusters(_simhash_neardup_pairs_df(spark, sf_dir))
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: the constructed near-dup corpus minus every
+    clustered document except its component's min-id representative."""
+    from readabilityimproved_spark.operators.graph import (
+        dedup_keep_representative,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zz")))
+        .alias("text"),
+    )
+    corpus = docs.union(mutated)
+    pairs = _simhash_neardup_pairs_df(spark, sf_dir)
+    return dedup_keep_representative(corpus, pairs).select("doc_id")
+
+
+def _cluster_ctes() -> str:
+    """Recursive transitive closure over the simhash near-dup pairs;
+    ends in ``labels (node, cluster_id)``."""
+    return f"""
+WITH RECURSIVE nd_pairs AS ({_simhash_neardup_oracle()}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM nd_pairs
+  UNION
+  SELECT id_b, id_a FROM nd_pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM edges e JOIN reach ON e.s = reach.node
+),
+labels AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+def _oracle_neardup_clusters() -> str:
+    return _cluster_ctes() + "\nSELECT node AS doc_id, cluster_id FROM labels\n"
+
+
+def _oracle_dedup_representatives() -> str:
+    return _cluster_ctes() + """
+, full_corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents
+)
+SELECT doc_id FROM full_corpus
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster_id <> node)
+"""
+
+
 def _simhash_oracle() -> str:
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1887,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash": lambda spark, sf: simhash64(_docs(spark, sf), portable_hash=True),
         "simhash_neardup": q_simhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_representatives": q_dedup_representatives,
         # --- curation tier --------------------------------------------------
         "decontaminate": q_decontaminate,
         "keep_per_source": q_keep_per_source,
@@ -1989,4 +2062,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": _minhash_verified_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
+        "neardup_clusters": _oracle_neardup_clusters(),
+        "dedup_representatives": _oracle_dedup_representatives(),
     }

@@ -205,6 +205,59 @@ def test_reading_order_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_neardup_clusters_transitive(spark):
+    """Chained pairs merge into one component labeled by the min id;
+    disjoint pairs stay separate; convergence needs multiple rounds on
+    a path graph (9-8-7-...-1 propagates the min along the chain)."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    # path 1-2-...-9 (diameter 8) + disjoint pair (100, 200)
+    path = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(
+        path + [(100, 200)], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(pairs).collect()
+    }
+    want = {(i, 1) for i in range(1, 10)} | {(100, 100), (200, 100)}
+    assert got == want
+
+    # cache hygiene: every round localCheckpoints, never persist()s
+    spark.catalog.clearCache()
+    neardup_clusters(pairs).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_neardup_clusters_round_cap_raises(spark):
+    """Hitting the round cap must raise, not return a partial closure
+    (silent under-merging would under-deduplicate the corpus)."""
+    import pytest as _pytest
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(pairs, max_rounds=2)
+
+
+def test_dedup_keep_representative(spark):
+    """Only component min-ids survive among clustered docs; documents
+    in no pair pass through untouched."""
+    from readabilityimproved_spark.operators.graph import (
+        dedup_keep_representative,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 5, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect()}
+    assert kept == {1, 5, 7}
+
+
 def test_pipeline_wave_listing_batched(spark, tmp_path, monkeypatch):
     """The committed-wave existence check must issue ONE filesystem
     listing per wave, not one exists() probe per partition (O(parts)
