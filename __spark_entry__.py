@@ -1575,6 +1575,62 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {fp})
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl incremental dedup against the persisted fingerprint
+    index (dedup.build_fingerprint_index): history = the documents
+    table; the new batch reuses every third text verbatim (dropped
+    against history), appends ' v2' to the rest, and adds within-batch
+    duplicates of the v2 texts for ids % 4 == 0 (only the min-id copy
+    survives). Emits surviving batch doc_ids."""
+    import os
+    import tempfile
+
+    from readabilityimproved_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    app_id = spark.sparkContext.applicationId
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"fp_index_{tag}_{app_id}"
+    )
+    build_fingerprint_index(docs, index_path)
+    new = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+        .alias("text"),
+    )
+    dupes = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    batch = new.union(dupes)
+    return dedup_against_index(spark, batch, index_path).select("doc_id")
+
+
+def _oracle_dedup_incremental() -> str:
+    fp = sqlgen.fingerprint_sql("text", DUCKDB)
+    return f"""
+WITH hist AS (
+  SELECT DISTINCT {fp} AS fp FROM documents
+), batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' v2' FROM documents WHERE doc_id % 4 = 0
+), bfp AS (
+  SELECT doc_id, {fp} AS fp FROM batch
+), fresh AS (
+  SELECT doc_id, fp FROM bfp WHERE fp NOT IN (SELECT fp FROM hist)
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM fresh GROUP BY fp
+"""
+
+
 _JACCARD_N = 3
 _JACCARD_THRESHOLD = 0.1
 
@@ -1945,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup tier ---------------------------------------------------
         "dedup_exact": lambda spark, sf: exact_dedup(_docs(spark, sf)),
         "dedup_keep_first": lambda spark, sf: dedup_keep_first(_docs(spark, sf)),
+        "dedup_incremental": q_dedup_incremental,
         # portable_hash=True (md5-slice) so the LSH family is DuckDB-
         # hash-checkable; production default stays xxhash64
         "minhash_verified": lambda spark, sf: minhash_verified_pairs(
@@ -2056,6 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         "materialize_packs": _oracle_materialize_packs(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
+        "dedup_incremental": _oracle_dedup_incremental(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
         "minhash_lsh": _minhash_lsh_oracle(),

@@ -51,6 +51,90 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def build_fingerprint_index(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    num_files: int = 64,
+) -> None:
+    """Persist the corpus's DISTINCT content fingerprints, hash-laid-out
+    by fingerprint, as the history side of cross-crawl incremental
+    dedup (build-once / query-many, same design as the persisted IVF
+    index in operators/similarity.py).
+
+    A recurring crawl pipeline must drop documents already ingested by
+    ANY previous run without re-reading past corpora: the index is the
+    narrow distinct-fingerprint table (one 32-char md5 per distinct
+    content -- at 10^12 docs, ~3% the corpus' bytes), written
+    repartitioned + sorted by fingerprint so each file covers a tight
+    fingerprint range (min/max footer stats make the anti-join's scan
+    prunable, and the layout is Iceberg's bucket(N, fingerprint)
+    shape)."""
+    fps = fingerprint(docs, text_col).select("fingerprint").distinct()
+    (
+        fps.repartition(num_files, "fingerprint")
+        .sortWithinPartitions("fingerprint")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def dedup_against_index(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup of a new crawl batch: drop every document whose
+    content fingerprint is already in the persisted index, then keep
+    one representative (min id) per fingerprint WITHIN the batch.
+
+    The only wide ops key on the fingerprint: the history anti-join
+    (the batch side shuffles; the index was laid out by fingerprint at
+    build time) and the within-batch min-id aggregation (map-side
+    partial). Text never travels: joins carry (id, fingerprint) only,
+    and the surviving ids semi-join back to the full rows."""
+    index = spark.read.parquet(index_path)
+    batch_fp = fingerprint(new_docs, text_col).select(
+        F.col(id_col), "fingerprint"
+    )
+    fresh = batch_fp.join(index, "fingerprint", "left_anti")
+    reps = (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_docs.join(reps, id_col, "left_semi")
+
+
+def update_fingerprint_index(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    num_files: int = 8,
+) -> None:
+    """Fold a new batch's UNSEEN fingerprints into the index (append
+    mode -- the write is new files only, never a rewrite of history;
+    periodically compact by rebuilding via build_fingerprint_index).
+    After this, re-running dedup_against_index on the same batch drops
+    everything -- the exactly-once ingest contract."""
+    index = spark.read.parquet(index_path)
+    unseen = (
+        fingerprint(new_docs, text_col)
+        .select("fingerprint")
+        .distinct()
+        .join(index, "fingerprint", "left_anti")
+    )
+    (
+        unseen.repartition(num_files, "fingerprint")
+        .sortWithinPartitions("fingerprint")
+        .write.mode("append")
+        .parquet(index_path)
+    )
+
+
 def _bind(expr: "F.Column", fn) -> "F.Column":
     """Evaluate ``expr`` ONCE per row and pass the value to ``fn`` as a
     lambda variable (1-element array transform). Without this, every

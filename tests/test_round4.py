@@ -205,6 +205,46 @@ def test_reading_order_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
+    """Cross-crawl dedup contract: batch docs whose content is in the
+    persisted index drop; within-batch dups keep min id; after
+    update_fingerprint_index, re-running the SAME batch drops
+    everything (exactly-once ingest)."""
+    from readabilityimproved_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+        update_fingerprint_index,
+    )
+
+    idx = str(tmp_path / "fp_index")
+    history = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    build_fingerprint_index(history, idx, num_files=2)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),   # normalizes to history doc 1 -> drop
+            (11, "epsilon zeta"),   # fresh -> keep
+            (12, "epsilon zeta"),   # within-batch dup of 11 -> drop
+            (13, "eta theta"),      # fresh -> keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"] for r in dedup_against_index(spark, batch, idx).collect()
+    }
+    assert kept == {11, 13}
+
+    update_fingerprint_index(spark, batch, idx)
+    again = dedup_against_index(spark, batch, idx).count()
+    assert again == 0
+    # the index holds each distinct fingerprint exactly once
+    n_fp = spark.read.parquet(idx).count()
+    n_distinct = spark.read.parquet(idx).distinct().count()
+    assert n_fp == n_distinct == 4  # 2 history + epsilon-zeta + eta-theta
+
+
 def test_neardup_clusters_transitive(spark):
     """Chained pairs merge into one component labeled by the min id;
     disjoint pairs stay separate; convergence needs multiple rounds on
