@@ -1483,6 +1483,27 @@ FROM (SELECT doc_id, {_cls_case(dialect)} AS cls, {_id_case(dialect)} AS idv
 """
 
 
+def _redact_pii_query(dialect: str) -> str:
+    """PII injected deterministically from doc_id (the synth corpus has
+    none), then redacted via the shared dialect template -- pins every
+    rule: email, card-shaped run, IPv4, phone shape."""
+    did = _cast_str("doc_id", dialect)
+    p3 = f"lpad({_cast_str('doc_id % 1000', dialect)}, 3, '0')"
+    p4 = f"lpad({_cast_str('doc_id % 10000', dialect)}, 4, '0')"
+    ip2 = _cast_str("doc_id % 200", dialect)
+    ip3 = _cast_str("(doc_id * 7) % 250", dialect)
+    injected = (
+        f"(substr(text, 1, 60) || ' reach user' || {did}"
+        f" || '@mail.example.com or 555-' || {p3} || '-' || {p4}"
+        f" || ' from 10.' || {ip2} || '.0.' || {ip3}"
+        f" || ' card 4111 1111 1111 ' || {p4} || ' end')"
+    )
+    return f"""
+SELECT doc_id, {sqlgen.redact_pii_sql(injected, dialect)} AS redacted
+FROM documents
+"""
+
+
 def _normalize_ws_query(dialect: str) -> str:
     padded = "('x  y ' || text || '   z. end')"
     return f"""
@@ -1989,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- scalar function library (SURVEY.md §2.6, §2.3 quirks) -------
         "date_from_url": sql_query(_date_from_url_query),
         "normalize_ws": sql_query(_normalize_ws_query),
+        "redact_pii": sql_query(_redact_pii_query),
         "comma_segments": sql_query(_comma_segments_query),
         "class_weight": sql_query(_class_weight_query),
         "token_count": sql_query(_token_count_query),
@@ -2094,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
         "media_attach": _oracle_media_attach(),
         "date_from_url": _date_from_url_query(DUCKDB),
         "normalize_ws": _normalize_ws_query(DUCKDB),
+        "redact_pii": _redact_pii_query(DUCKDB),
         "comma_segments": _comma_segments_query(DUCKDB),
         "class_weight": _class_weight_query(DUCKDB),
         "token_count": _token_count_query(DUCKDB),

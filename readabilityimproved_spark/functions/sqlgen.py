@@ -330,3 +330,27 @@ def url_normalize_sql(u: str, dialect: str) -> str:
             f"substr({u1}, length({sh}) + 1)", r"[?&]+$", "", dialect
         ),
     )
+
+
+#: (pattern, replacement) in application order: email before IP/phone
+#: (an address can embed digits), card before phone (4-4-4-4 runs must
+#: not half-match), IP before phone (dotted quads share digit shapes).
+#: Regex subset chosen for identical Java-regex / RE2 semantics: \b and
+#: \d are ASCII in both, no lookaround, no backrefs.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}([- ]\d{4}){3}\b", "<CARD>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_sql(s: str, dialect: str) -> str:
+    """PII redaction for training corpora: emails, 16-digit card-shaped
+    runs, IPv4 addresses, and NNN-NNN-NNNN phone shapes become typed
+    placeholder tokens. Chained regexp_replace -- pure per-row compute,
+    no shuffle, whole-stage codegen in Spark."""
+    out = s
+    for pattern, repl in PII_RULES:
+        out = _replace_all(out, pattern, repl, dialect)
+    return out

@@ -185,6 +185,20 @@ def inverted_index(
     )
 
 
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails, 16-digit card-shaped runs, IPv4 addresses, and
+    NNN-NNN-NNNN phone shapes with typed placeholder tokens
+    (functions.sqlgen.PII_RULES; the same template renders the DuckDB
+    oracle). A pure per-row regexp chain: no shuffle, pushes past
+    column pruning, whole-stage codegen."""
+    out_col = out_col or text_col
+    return docs.withColumn(
+        out_col, F.expr(sqlgen.redact_pii_sql(text_col, sqlgen.SPARK))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -205,6 +205,28 @@ def test_reading_order_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_redact_pii_rules(spark):
+    """Each PII rule fires on its shape and leaves prose alone."""
+    from readabilityimproved_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk now"),
+            (2, "call 555-123-4567 today"),
+            (3, "host 192.168.0.1 up"),
+            (4, "card 4111 1111 1111 1111 used"),
+            (5, "version 1.2 of 3 things"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "host <IP> up"
+    assert got[4] == "card <CARD> used"
+    assert got[5] == "version 1.2 of 3 things"
+
+
 def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
     """Cross-crawl dedup contract: batch docs whose content is in the
     persisted index drop; within-batch dups keep min id; after
