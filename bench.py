@@ -162,6 +162,8 @@ def main() -> None:
         "date_from_url",
         "tpch_pricing_summary",
         "decontaminate",
+        "layout_spans",
+        "neardup_clusters",
     ):
         t0 = time.time()
         queries[name](spark, SF_DIR).count()

@@ -57,25 +57,24 @@ def neardup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence via the label-sum invariant: labels only ever DECREASE
+    # (min of self and neighbors), so sum(label) is unchanged iff no
+    # label changed -- one narrow aggregate on the already-checkpointed
+    # table per round, no compare-join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
         prop = edges.alias("e").join(
             labels.alias("l"), F.col("e.d") == F.col("l.node")
         ).select(F.col("e.s").alias("node"), F.col("l.label").alias("label"))
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        converged, prev_sum = new_sum == prev_sum, new_sum
+        if converged:
             return labels.select(
                 F.col("node").alias("doc_id"),
                 F.col("label").alias("cluster_id"),
