@@ -694,6 +694,26 @@ FROM c WHERE df <= {_INDEX_CAP} GROUP BY token, df
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile with EXACT medians (the approx t-digest
+    path is the 10^12-row default; exactness here is what DuckDB can
+    oracle)."""
+    from readabilityimproved_spark.operators.curation import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir), exact_quantiles=True)
+
+
+def _oracle_corpus_stats() -> str:
+    toks = sqlgen.token_count_sql("text", DUCKDB)
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST({toks} AS BIGINT)) AS BIGINT) AS sum_tokens,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS median_chars
+FROM documents GROUP BY 1
+"""
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.3, "s0"
 
 
@@ -2046,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "mixture_expand": q_mixture_expand,
         "vocab_topk": q_vocab_topk,
+        "corpus_stats": q_corpus_stats,
         "inverted_index": q_inverted_index,
         "materialize_packs": q_materialize_packs,
         # --- similarity tier -----------------------------------------------
@@ -2137,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "dedup_incremental": _oracle_dedup_incremental(),
+        "corpus_stats": _oracle_corpus_stats(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
         "minhash_lsh": _minhash_lsh_oracle(),

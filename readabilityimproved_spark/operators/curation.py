@@ -185,6 +185,40 @@ def inverted_index(
     )
 
 
+def corpus_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    exact_quantiles: bool = False,
+) -> DataFrame:
+    """Per-source corpus profile: doc count, total tokens, min/max and
+    median document length — the summary every mixture/curation
+    decision starts from.
+
+    Count/sum/min/max partial-aggregate map-side (the exchange carries
+    one row per task x source). The median is ``approx_percentile``
+    (t-digest sketch, mergeable, bounded memory) by default — the only
+    choice at 10^12 rows; ``exact_quantiles=True`` switches to exact
+    ``percentile`` (per-group value buffering) for oracle parity and
+    small-corpus use."""
+    n_tokens = F.expr(sqlgen.token_count_sql(text_col, sqlgen.SPARK)).cast(
+        "bigint"
+    )
+    med = F.expr(
+        f"percentile({chars_col}, 0.5)"
+        if exact_quantiles
+        else f"approx_percentile({chars_col}, 0.5)"
+    )
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("sum_tokens"),
+        F.min(chars_col).alias("min_chars"),
+        F.max(chars_col).alias("max_chars"),
+        med.cast("double").alias("median_chars"),
+    )
+
+
 def redact_pii(
     docs: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:

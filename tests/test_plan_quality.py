@@ -58,3 +58,37 @@ def test_similarity_broadcasts_queries(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = plan_of(cosine_topk(emb, k=3, num_queries=5))
     assert "BroadcastExchange" in plan or "Broadcast" in plan
+
+
+def test_incremental_dedup_plan_shape(spark, tmp_path):
+    """Cross-crawl dedup: the history join is a LEFT ANTI on the
+    fingerprint (never a cartesian), and text does not travel through
+    it -- only (id, fingerprint) columns reach the join."""
+    from readabilityimproved_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    idx = str(tmp_path / "fpq")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    build_fingerprint_index(docs, idx, num_files=2)
+    plan = plan_of(dedup_against_index(spark, docs, idx))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the anti-join input projects only id + fingerprint (text stays
+    # behind until the final semi-join back to full rows)
+    assert "LeftSemi" in plan, plan
+
+
+def test_corpus_stats_partial_aggregation(spark):
+    """The per-source profile partial-aggregates map-side: one final
+    exchange on the (tiny) group key, scan pruned to the 3 used cols."""
+    from readabilityimproved_spark.operators.curation import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = corpus_stats(docs)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+    plan = plan_of(df)
+    assert "partial_" in plan, plan  # map-side combine before the exchange
+    assert "ReadSchema: struct<text:string,source:string,n_chars:bigint>" in plan, plan

@@ -205,6 +205,29 @@ def test_reading_order_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_corpus_stats_exact_and_approx(spark):
+    """Exact path interpolates the even-count median; the approx
+    (t-digest) default returns a real value within the group's range."""
+    from readabilityimproved_spark.operators.curation import corpus_stats
+
+    docs = spark.createDataFrame(
+        [("a", "x y", 10), ("a", "x", 20), ("a", "x", 30), ("a", "x", 40),
+         ("b", "x y z", 5)],
+        "source string, text string, n_chars long",
+    )
+    exact = {
+        r["source"]: r
+        for r in corpus_stats(docs, exact_quantiles=True).collect()
+    }
+    assert exact["a"]["median_chars"] == 25.0  # (20+30)/2 interpolated
+    assert exact["a"]["n_docs"] == 4 and exact["a"]["sum_tokens"] == 5
+    assert exact["b"]["median_chars"] == 5.0
+    approx = {
+        r["source"]: r for r in corpus_stats(docs).collect()
+    }
+    assert 10 <= approx["a"]["median_chars"] <= 40
+
+
 def test_redact_pii_rules(spark):
     """Each PII rule fires on its shape and leaves prose alone."""
     from readabilityimproved_spark.operators.curation import redact_pii
