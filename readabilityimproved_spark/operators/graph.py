@@ -12,14 +12,15 @@ Beyond", SoCC'14, which bounds rounds to O(log^2 n) on adversarial
 graphs):
 
 * every node starts labeled with itself;
-* each round, every node takes the min of its own label and its
-  neighbors' labels -- one join + one groupBy (both partial-aggregated
-  map-side) per round, shuffling only (node, label) longs;
-* converges in O(component diameter) rounds. Near-dup components are
-  shallow by construction (the LSH bucket caps bound how many pairs a
-  document can join), so the default round cap is generous, and the
-  loop early-exits on the first round with no label change (a bounded
-  control-plane count, not a data collect).
+* each round, every node takes the min of its own label, its
+  neighbors' labels, AND its label's label (pointer jumping) -- two
+  joins + one groupBy per round, shuffling only (node, label) longs;
+* the pointer-jump branch makes the reachable-min distance roughly
+  DOUBLE per round, so convergence is O(log diameter) rounds even on
+  path-shaped components (plain neighbor propagation is O(diameter) --
+  a 10^6-long chain would need 10^6 rounds; doubling needs ~20). The
+  loop early-exits on the first round with no label change, detected
+  by the label-sum invariant (one narrow aggregate, no data collect).
 
 Each round's result is localCheckpoint()ed: iterative DataFrame loops
 otherwise double the lineage per round (exponential planning time),
@@ -66,8 +67,14 @@ def neardup_clusters(
         prop = edges.alias("e").join(
             labels.alias("l"), F.col("e.d") == F.col("l.node")
         ).select(F.col("e.s").alias("node"), F.col("l.label").alias("label"))
+        # pointer jump: my label's label (labels only decrease, so this
+        # keeps the min-monotonicity the sum-convergence test relies on)
+        jump = labels.alias("a").join(
+            labels.alias("b"), F.col("a.label") == F.col("b.node")
+        ).select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         labels = (
             labels.unionByName(prop)
+            .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)

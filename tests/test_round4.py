@@ -205,6 +205,33 @@ def test_reading_order_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_new_tiers_partitioning_invariant(spark):
+    """Reading order, cluster labels, and incremental-dedup survivors
+    must not depend on the input's physical layout (the cluster-size /
+    repartition invariance every deterministic operator claims)."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+    from readabilityimproved_spark.operators.layout import (
+        fake_pdf_blocks,
+        layout_spans,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    spans = lambda d: {
+        tuple(r) for r in layout_spans(fake_pdf_blocks(d)).collect()
+    }
+    assert spans(docs) == spans(docs.repartition(17))
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)] + [(100, 200), (7, 300)],
+        "id_a long, id_b long",
+    )
+    labels = lambda p: {tuple(r) for r in neardup_clusters(p).collect()}
+    assert labels(pairs) == labels(pairs.repartition(13))
+
+
 def test_corpus_stats_exact_and_approx(spark):
     """Exact path interpolates the even-count median; the approx
     (t-digest) default returns a real value within the group's range."""
