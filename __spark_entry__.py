@@ -694,6 +694,35 @@ FROM c WHERE df <= {_INDEX_CAP} GROUP BY token, df
 """
 
 
+_STRATA = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT, _STRATA_SALT = 0.1, "st0"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        fractions=_STRATA,
+        default_fraction=_STRATA_DEFAULT,
+        salt=_STRATA_SALT,
+        portable_hash=True,
+    ).select("doc_id", "source")
+
+
+def _oracle_stratified_sample() -> str:
+    h = _md5slice(f"doc_id::VARCHAR || '_{_STRATA_SALT}'")
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {int(f * 1_000_000)}"
+        for g, f in sorted(_STRATA.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({h}) % 1000000 <
+      (CASE {cases} ELSE {int(_STRATA_DEFAULT * 1_000_000)} END)
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile with EXACT medians (the approx t-digest
     path is the 10^12-row default; exactness here is what DuckDB can
@@ -2064,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_per_source": q_keep_per_source,
         "pack_sequences": q_pack_sequences,
         "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
         "mixture_expand": q_mixture_expand,
         "vocab_topk": q_vocab_topk,
         "corpus_stats": q_corpus_stats,
@@ -2159,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": _dedup_keep_first_oracle(),
         "dedup_incremental": _oracle_dedup_incremental(),
         "corpus_stats": _oracle_corpus_stats(),
+        "stratified_sample": _oracle_stratified_sample(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
         "minhash_lsh": _minhash_lsh_oracle(),

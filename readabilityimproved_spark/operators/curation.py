@@ -69,6 +69,35 @@ def deterministic_sample(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    group_col: str = "source",
+    salt: str = "st0",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a row iff its hash lands
+    below its GROUP's fraction — how a mixture recipe downsamples
+    overrepresented sources in one pass. Same reproducibility contract
+    as deterministic_sample (partitioning/cluster-size invariant, unlike
+    ``df.sampleBy``); groups absent from ``fractions`` get
+    ``default_fraction``.
+
+    The fraction lookup is a literal CASE over the (small, by
+    definition) mixture map — a pure narrow filter, no join, no
+    shuffle, pushed past column pruning."""
+    threshold = F.lit(int(default_fraction * SAMPLE_M))
+    for grp, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(group_col) == grp, F.lit(int(frac * SAMPLE_M))
+        ).otherwise(threshold)
+    return docs.filter(
+        _hash_bucket(F.col(id_col), salt, portable_hash) < threshold
+    )
+
+
 def mixture_expand(
     docs: DataFrame,
     weight_col: str = "weight",

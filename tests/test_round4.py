@@ -232,6 +232,30 @@ def test_new_tiers_partitioning_invariant(spark):
     assert labels(pairs) == labels(pairs.repartition(13))
 
 
+def test_stratified_sample_rates_and_invariance(spark):
+    """Per-group fractions apply (0 drops a group, 1 keeps all of it),
+    unknown groups get the default, and the kept set is invariant
+    under repartitioning."""
+    from readabilityimproved_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)],
+        "doc_id long, source string",
+    )
+    kept = lambda d: {
+        r["doc_id"]
+        for r in stratified_sample(
+            d, {"a": 1.0, "b": 0.0}, default_fraction=0.5
+        ).collect()
+    }
+    k = kept(docs)
+    assert {i for i in k if i < 40} == set(range(40))  # a: all kept
+    assert not any(40 <= i < 80 for i in k)            # b: none
+    c_kept = sum(1 for i in k if i >= 80)
+    assert 0 < c_kept < 40                             # c: ~half
+    assert k == kept(docs.repartition(7))
+
+
 def test_corpus_stats_exact_and_approx(spark):
     """Exact path interpolates the even-count median; the approx
     (t-digest) default returns a real value within the group's range."""
