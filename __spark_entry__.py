@@ -658,6 +658,50 @@ LIMIT {_VOCAB_TOPN}
 """
 
 
+def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-based tokenization: corpus top-N vocabulary (dense ids in
+    (count desc, token) order) applied per document, OOV -> -1, ids
+    emitted space-joined (scalar for the driver hash)."""
+    from readabilityimproved_spark.operators.curation import (
+        build_vocab_ids,
+        tokens_to_ids,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab_ids(docs, top_n=_VOCAB_TOPN)
+    return tokens_to_ids(docs, vocab)
+
+
+def _oracle_tokens_to_ids() -> str:
+    return f"""
+WITH counts AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents)
+  WHERE token <> ''
+  GROUP BY token ORDER BY n DESC, token ASC LIMIT {_VOCAB_TOPN}
+), v AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) - 1
+             AS id
+  FROM counts
+), t AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+         unnest(toks) AS token
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+), m AS (
+  SELECT doc_id, pos, CAST(coalesce(v.id, -1) AS INT) AS tid
+  FROM t LEFT JOIN v USING (token)
+  WHERE token <> ''
+)
+SELECT doc_id,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+       CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM m GROUP BY doc_id
+"""
+
+
 _INDEX_CAP = 390  # splits the sf0.01 df distribution: hot tokens dropped
 
 
@@ -2096,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_expand": q_mixture_expand,
         "vocab_topk": q_vocab_topk,
+        "tokens_to_ids": q_tokens_to_ids,
         "corpus_stats": q_corpus_stats,
         "inverted_index": q_inverted_index,
         "materialize_packs": q_materialize_packs,
@@ -2190,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _oracle_dedup_incremental(),
         "corpus_stats": _oracle_corpus_stats(),
         "stratified_sample": _oracle_stratified_sample(),
+        "tokens_to_ids": _oracle_tokens_to_ids(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "similarity_topk": _cosine_topk_oracle(),
         "minhash_lsh": _minhash_lsh_oracle(),

@@ -184,6 +184,60 @@ def vocab_topk(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
 
 
+def build_vocab_ids(
+    docs: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, id) for the corpus's ``top_n`` tokens: ids are dense from
+    0 in (count desc, token asc) order — the deterministic id
+    assignment ``tokens_to_ids`` consumes. The final ranking window runs
+    over top_n rows only (vocabularies are small by definition — the
+    corpus-wide counting above it is the distributed part)."""
+    counts = vocab_topk(docs, top_n=top_n, text_col=text_col)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("id")
+    )
+
+
+def tokens_to_ids(
+    docs: DataFrame,
+    vocab_ids: DataFrame,
+    oov_id: int = -1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize each document to its id sequence (space-joined string —
+    scalar, driver-hashable): whitespace tokens looked up in the
+    (token, id) vocabulary, misses becoming ``oov_id``.
+
+    Scale: the vocabulary is broadcast (even 10^6 entries are a few MB);
+    the token explode is narrow; the only exchange is the per-doc
+    regroup, whose collect_list is bounded by document length (the same
+    bound materialize_packs relies on). Order is restored from the
+    explode position, not sort order of ids."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    mapped = toks.join(F.broadcast(vocab_ids), "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("id"), F.lit(oov_id)).cast("int").alias("tid"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s["tid"].cast("string"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.array_join(ordered, " ").alias("token_ids"),
+        F.sum((F.col("tid") == oov_id).cast("int")).alias("n_oov"),
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     max_postings: int = 100_000,

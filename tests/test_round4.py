@@ -232,6 +232,27 @@ def test_new_tiers_partitioning_invariant(spark):
     assert labels(pairs) == labels(pairs.repartition(13))
 
 
+def test_tokens_to_ids_order_and_oov(spark):
+    """Ids come back in DOCUMENT order (not id order), OOV tokens map
+    to -1 and are counted, vocab ids are dense by (count desc, token)."""
+    from readabilityimproved_spark.operators.curation import (
+        build_vocab_ids,
+        tokens_to_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "zz a")], "doc_id long, text string"
+    )
+    vocab = build_vocab_ids(docs, top_n=2)  # b(3)->0, a(3)->1 (tie: a<b?)
+    v = {r["token"]: r["id"] for r in vocab.collect()}
+    # counts: b=3, a=3 -> tie broken by token asc: a->0, b->1
+    assert v == {"a": 0, "b": 1}
+    got = {r["doc_id"]: r for r in tokens_to_ids(docs, vocab).collect()}
+    assert got[1]["token_ids"] == "1 0 1 -1 1 0"  # c is OOV
+    assert got[1]["n_oov"] == 1
+    assert got[2]["token_ids"] == "-1 0" and got[2]["n_oov"] == 1
+
+
 def test_stratified_sample_rates_and_invariance(spark):
     """Per-group fractions apply (0 drops a group, 1 keeps all of it),
     unknown groups get the default, and the kept set is invariant
