@@ -221,6 +221,53 @@ class Element:
                     stack.extend(reversed(node.children))
         return out
 
+    def count_descendant_tags(self, tags: frozenset) -> dict:
+        """Counts of each tag in ``tags`` among descendants (excluding
+        self) in ONE traversal -- replaces N get_elements_by_tag walks
+        when only counts are needed."""
+        counts = dict.fromkeys(tags, 0)
+        stack = list(self.children)
+        while stack:
+            node = stack.pop()
+            if node.__class__ is not TextNode:
+                if node.tag in counts:
+                    counts[node.tag] += 1
+                if node.children:
+                    stack.extend(node.children)
+        return counts
+
+    def contains_markup(self, tags: frozenset, needles: tuple) -> bool:
+        """Could ``self.html()`` contain any of ``needles`` (lowercase
+        markup prefixes like ``"<br"``)?
+
+        Checks element tags, attribute VALUES (serialized unescaped --
+        ``<`` survives in attrs), and comment bodies, all
+        case-insensitively. Regular text nodes are ``&lt;``-escaped on
+        serialize, so they can never produce literal markup. A True is
+        conservative (a needle in a harmless position still reports
+        True); a False PROVES the serialize->regex rewrites keyed on
+        these needles are no-ops, letting the kernel skip whole-document
+        serialization on the common (needle-free) path."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.__class__ is TextNode:
+                if node.is_comment:
+                    d = node.data.lower()
+                    if any(x in d for x in needles):
+                        return True
+                continue
+            if node.tag in tags:
+                return True
+            if node.attrs:
+                for v in node.attrs.values():
+                    lv = v.lower()
+                    if any(x in lv for x in needles):
+                        return True
+            if node.children:
+                stack.extend(node.children)
+        return False
+
     # --- text extraction -----------------------------------------------------
     def text(self) -> str:
         """Whitespace-normalized visible text (jsoup-like).

@@ -55,6 +55,12 @@ F033 = float(np.float32(0.33))
 F05 = float(np.float32(0.5))
 
 _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCII
+#: serialize-skip guards (dom.contains_markup): the serialize->regex
+#: rewrites in prep_document/prep_article are provably identity when the
+#: tree cannot emit these markup substrings
+_BR_TAGS = frozenset(("br",))
+_BRFONT_TAGS = frozenset(("br", "font"))
+_PEO_TAGS = frozenset(("img", "embed", "object"))
 # ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
 # Java String.trim() strips chars <= U+0020 from both ends;
@@ -260,11 +266,15 @@ class ReadabilityKernel:
         # mutations; retagged div->p nodes hold only inline content by
         # the DIV_TO_P gate), so skipping is semantics-preserving and
         # saves the dominant parse cost on <br>/<font>-free documents.
-        before = body.html()
-        html = P.REGEX_REPLACE_BRS.sub("</p><p>", before)
-        html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)
-        if html != before:
-            body.set_html(html)
+        # Skip even the SERIALIZE when the tree provably cannot emit a
+        # '<br'/'<font' substring (contains_markup): both rewrite
+        # patterns open with those literals, so absence proves identity.
+        if body.contains_markup(_BRFONT_TAGS, ("<br", "<font")):
+            before = body.html()
+            html = P.REGEX_REPLACE_BRS.sub("</p><p>", before)
+            html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)
+            if html != before:
+                body.set_html(html)
 
     # --- C1-C11 (+ I* in the img variant) ----------------------------------
     def grab_article(self, preserve_unlikely_candidates: bool) -> Element:
@@ -392,10 +402,13 @@ class ReadabilityKernel:
     # --- A1-A7 --------------------------------------------------------------
     def prep_article(self, article_content: Element) -> None:
         self._clean_styles(article_content)
-        before = article_content.html()
-        killed = P.REGEX_KILL_BREAKS.sub("<br />", before)
-        if killed != before:  # skip no-op reparse (see prep_document)
-            article_content.set_html(killed)
+        # serialize only when a '<br' substring can exist (see
+        # prep_document): REGEX_KILL_BREAKS opens with the literal '<br'
+        if article_content.contains_markup(_BR_TAGS, ("<br",)):
+            before = article_content.html()
+            killed = P.REGEX_KILL_BREAKS.sub("<br />", before)
+            if killed != before:  # skip no-op reparse (see prep_document)
+                article_content.set_html(killed)
         self._clean(article_content, "form")
         self._clean(article_content, "object")
         self._clean(article_content, "h1")
@@ -407,20 +420,21 @@ class ReadabilityKernel:
         self._clean_conditionally(article_content, "ul")
         self._clean_conditionally(article_content, "div")
         for paragraph in elements_by_tag(article_content, "p"):
-            img_count = len(elements_by_tag(paragraph, "img"))
-            embed_count = len(elements_by_tag(paragraph, "embed"))
-            object_count = len(elements_by_tag(paragraph, "object"))
+            # one walk for all three counts (was 3 subtree traversals)
+            counts = paragraph.count_descendant_tags(_PEO_TAGS)
             if (
-                img_count == 0
-                and embed_count == 0
-                and object_count == 0
+                counts["img"] == 0
+                and counts["embed"] == 0
+                and counts["object"] == 0
                 and not get_inner_text(paragraph, False)
             ):
                 paragraph.remove()
-        before = article_content.html()
-        debreaked = _BR_BEFORE_P.sub("<p", before)
-        if debreaked != before:  # skip no-op reparse (see prep_document)
-            article_content.set_html(debreaked)
+        # re-probe: the cleans above may have removed the only <br>s
+        if article_content.contains_markup(_BR_TAGS, ("<br",)):
+            before = article_content.html()
+            debreaked = _BR_BEFORE_P.sub("<p", before)
+            if debreaked != before:  # skip no-op reparse (see prep_document)
+                article_content.set_html(debreaked)
 
     def _clean_styles(self, e: Element | None) -> None:
         if e is None:
