@@ -415,6 +415,102 @@ def test_dedup_keep_representative(spark):
     assert kept == {1, 5, 7}
 
 
+def test_reading_order_matches_python_reference_on_random_layouts(spark):
+    """Randomized cross-check of the banded two-column ordering rule
+    against a pure-Python reference: random pages of full-width /
+    left / right blocks at random y positions (with ties)."""
+    import random
+
+    from readabilityimproved_spark.operators.layout import reading_order
+
+    rng = random.Random(1234)
+    rows = []
+    for doc in range(30):
+        bid = 0
+        for page in range(rng.randint(1, 3)):
+            for _ in range(rng.randint(1, 12)):
+                kind = rng.choice(("full", "left", "right"))
+                y0 = float(rng.choice((40, 100, 100, 300, 500, 500)))
+                x0, x1 = {
+                    "full": (36.0, 576.0),
+                    "left": (36.0, 288.0),
+                    "right": (324.0, 576.0),
+                }[kind]
+                rows.append((doc, page, bid, x0, y0, x1, y0 + 20.0))
+                bid += 1
+    df = spark.createDataFrame(
+        [r + (f"t{r[2]}",) for r in rows],
+        "doc_id long, page int, block_id int, x0 double, y0 double,"
+        " x1 double, y1 double, text string",
+    )
+    got = {
+        (r["doc_id"], r["block_id"]): r["order_idx"]
+        for r in reading_order(df).collect()
+    }
+
+    # pure-Python reference of the documented rule
+    mid = 306.0
+    by_doc: dict[int, list] = {}
+    for doc, page, bid, x0, y0, x1, _ in rows:
+        by_doc.setdefault(doc, []).append((page, bid, x0, y0, x1))
+    want = {}
+    for doc, blocks in by_doc.items():
+        # band = cumulative count of full-width blocks in (page,y0,x0,bid)
+        # order; full blocks carry col -1, left 0, right 1
+        seq = sorted(blocks, key=lambda b: (b[0], b[3], b[2], b[1]))
+        band = 0
+        keyed = []
+        for page, bid, x0, y0, x1 in seq:
+            is_full = x0 < mid < x1
+            if is_full:
+                band += 1
+            col = -1 if is_full else (0 if x1 <= mid else 1)
+            keyed.append(((page, band, col, y0, x0, bid), bid))
+        for idx, (_, bid) in enumerate(sorted(keyed), start=1):
+            want[(doc, bid)] = idx
+    assert got == want
+
+
+def test_clusters_match_python_union_find_on_random_graphs(spark):
+    """Randomized cross-check of connected components against a
+    pure-Python union-find, including long paths, stars, and cliques."""
+    import random
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        nodes = list(range(200))
+        edges = set()
+        # random edges + one long path + a star
+        for _ in range(120):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        edges |= {(i, i + 1) for i in range(150, 199)}
+        edges |= {(50, t) for t in range(60, 70)}
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {n for e in edges for n in e}
+        want = {(n, find(n)) for n in in_graph}
+
+        df = spark.createDataFrame(
+            sorted(edges), "id_a long, id_b long"
+        )
+        got = {tuple(r) for r in neardup_clusters(df).collect()}
+        assert got == want, seed
+
+
 def test_pipeline_wave_listing_batched(spark, tmp_path, monkeypatch):
     """The committed-wave existence check must issue ONE filesystem
     listing per wave, not one exists() probe per partition (O(parts)
