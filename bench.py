@@ -317,9 +317,20 @@ pure-Python multiprocessing ceiling here is itself ~0.80.)
   rank (no single-task group funnels);
 * curation: decontamination broadcasts the benchmark gram table (the
   corpus never shuffles on gram keys); sequence packing windows per
-  hash stream (no global sort); sampling/mixture are pure narrow maps;
-  inverted-index posting lists capped by a window count BEFORE
-  collect_list.
+  hash stream (no global sort); sampling/mixture/stratified/PII are
+  pure narrow maps; inverted-index posting lists capped by a window
+  count BEFORE collect_list; corpus stats partial-aggregate map-side
+  behind one exchange (t-digest median by default);
+* layout: reading order + furniture strip are built-in windows and
+  per-doc aggregations sharing ONE doc_id exchange per query (pinned);
+  no Python;
+* clustering: Hash-Min + pointer jumping converges in O(log diameter)
+  rounds, each round one edge join + one (node,label) groupBy with
+  localCheckpointed lineage; convergence detected by the label-sum
+  invariant (no compare join);
+* incremental dedup: the persisted fingerprint index anti-joins on the
+  fingerprint only -- document text never travels through the join
+  (LeftAnti + LeftSemi pinned, never cartesian).
 
 Reproduce: `python bench.py [--write-md]` (env: `SPARK_GRAFT_SF_DIR`,
 `SPARK_GRAFT_CPUS`).
