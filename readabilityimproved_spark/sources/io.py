@@ -19,14 +19,30 @@ def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bo
     return impl is not None and "Iceberg" in str(impl)
 
 
+#: supported file formats: parquet is the production default (columnar,
+#: predicate pushdown, the Iceberg file format); orc is the drop-in
+#: columnar alternative; json is the interchange edge (schema must be
+#: provided on read for span structs -- inference can't see nulls)
+CORPUS_FORMATS = ("parquet", "orc", "json")
+
+
 def read_corpus(
-    spark: SparkSession, path: str | None = None, table: str | None = None
+    spark: SparkSession,
+    path: str | None = None,
+    table: str | None = None,
+    fmt: str = "parquet",
+    schema=None,  # DDL string or StructType; required for json spans
 ) -> DataFrame:
     if table is not None:
         return spark.read.table(table)
     if path is None:
         raise ValueError("need path= or table=")
-    return spark.read.parquet(path)
+    if fmt not in CORPUS_FORMATS:
+        raise ValueError(f"fmt must be one of {CORPUS_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
 
 
 def write_corpus(
@@ -35,6 +51,7 @@ def write_corpus(
     table: str | None = None,
     mode: str = "append",
     partition_col: str = "part",
+    fmt: str = "parquet",
 ) -> None:
     if table is not None:
         writer = df.writeTo(table)
@@ -45,10 +62,12 @@ def write_corpus(
         return
     if path is None:
         raise ValueError("need path= or table=")
+    if fmt not in CORPUS_FORMATS:
+        raise ValueError(f"fmt must be one of {CORPUS_FORMATS}")
     w = df.write.mode(mode)
     if partition_col and partition_col in df.columns:
         w = w.partitionBy(partition_col)
-    w.parquet(path)
+    w.format(fmt).save(path)
 
 
 def write_bucketed(

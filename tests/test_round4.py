@@ -322,6 +322,46 @@ def test_redact_pii_rules(spark):
     assert got[5] == "version 1.2 of 3 things"
 
 
+def test_redact_pii_spark_duckdb_parity_fuzz(spark):
+    """Fuzz the Java-regex / RE2 parity claim: random strings mixing
+    PII-shaped fragments, near-misses, and noise must redact
+    IDENTICALLY in Spark and DuckDB (the oracle dialect)."""
+    import random
+
+    import duckdb
+
+    from readabilityimproved_spark.functions import sqlgen
+
+    rng = random.Random(2024)
+    frags = [
+        "a.b+c@ex.co", "x@y.z", "@nope", "no@tld", "a@b.c2",
+        "555-123-4567", "55-123-4567", "555.123.4567", "555 123 4567",
+        "5551234567", "1.2.3.4", "10.0.300.1", "1.2.3", "1.2.3.4.5",
+        "4111 1111 1111 1111", "4111-1111-1111-1111", "4111 1111 1111",
+        "v1.2", "p. 44", "word", "a-b_c", "..", "@@", "12345",
+    ]
+    rows = []
+    for i in range(300):
+        s = " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        rows.append((i, s))
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["red"]
+        for r in sdf.select(
+            "i",
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                sqlgen.redact_pii_sql("text", sqlgen.SPARK)
+            ).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = sqlgen.redact_pii_sql("text", sqlgen.DUCKDB)
+    want = dict(con.execute(f"SELECT i, {expr} FROM t").fetchall())
+    assert got == want
+
+
 def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
     """Cross-crawl dedup contract: batch docs whose content is in the
     persisted index drop; within-batch dups keep min id; after
@@ -360,6 +400,34 @@ def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
     n_fp = spark.read.parquet(idx).count()
     n_distinct = spark.read.parquet(idx).distinct().count()
     assert n_fp == n_distinct == 4  # 2 history + epsilon-zeta + eta-theta
+
+
+def test_corpus_format_roundtrip_drives_kernel(spark, tmp_path):
+    """ORC and JSON corpus roundtrips feed the extraction kernel with
+    results identical to the parquet path (format breadth of the
+    source/sink edge; json needs the explicit span schema on read)."""
+    from readabilityimproved_spark.operators.extract import extract_spans
+    from readabilityimproved_spark.sources.io import read_corpus, write_corpus
+    from readabilityimproved_spark.sources.synth import synth_corpus_df
+
+    docs = synth_corpus_df(spark, 20, num_slices=2)
+    schema = docs.schema  # StructType; json can't infer struct nulls
+    def canon(df):
+        return {
+            (r["doc_id"], r["n_spans"], r["n_images"], r["status"],
+             tuple(tuple(s) for s in r["spans"]))
+            for r in df.collect()
+        }
+
+    baseline = canon(extract_spans(docs))
+    assert baseline
+    for fmt in ("parquet", "orc", "json"):
+        p = str(tmp_path / f"c_{fmt}")
+        write_corpus(docs, p, mode="overwrite", fmt=fmt)
+        back = read_corpus(
+            spark, p, fmt=fmt, schema=schema if fmt == "json" else None
+        )
+        assert canon(extract_spans(back)) == baseline, fmt
 
 
 def test_neardup_clusters_transitive(spark):
