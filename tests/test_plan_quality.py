@@ -92,3 +92,42 @@ def test_corpus_stats_partial_aggregation(spark):
     plan = plan_of(df)
     assert "partial_" in plan, plan  # map-side combine before the exchange
     assert "ReadSchema: struct<text:string,source:string,n_chars:bigint>" in plan, plan
+
+
+def test_aqe_splits_skewed_join():
+    """The session builder's AQE config actually handles skew at
+    runtime: a 97%-one-key join replans to SortMergeJoin(skew=true)
+    in the final adaptive plan (the north rule's 'AQE shuffle tuning'
+    made observable). Own session: thresholds are lowered so local-mode
+    data volumes trip the skew detector."""
+    from readabilityimproved_spark.plans.session import build_session
+
+    spark = build_session(
+        app_name="plan-skew",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "16384",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 97, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        spark.stop()
