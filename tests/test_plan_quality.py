@@ -94,26 +94,24 @@ def test_corpus_stats_partial_aggregation(spark):
     assert "ReadSchema: struct<text:string,source:string,n_chars:bigint>" in plan, plan
 
 
-def test_aqe_splits_skewed_join():
-    """The session builder's AQE config actually handles skew at
-    runtime: a 97%-one-key join replans to SortMergeJoin(skew=true)
-    in the final adaptive plan (the north rule's 'AQE shuffle tuning'
-    made observable). Own session: thresholds are lowered so local-mode
-    data volumes trip the skew detector."""
-    from readabilityimproved_spark.plans.session import build_session
-
-    spark = build_session(
-        app_name="plan-skew",
-        master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-                "16384",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
-    )
+def test_aqe_splits_skewed_join(spark):
+    """The AQE config actually handles skew at runtime: a
+    97%-one-key join replans to SortMergeJoin(skew=true) in the final
+    adaptive plan (the north rule's 'AQE shuffle tuning' made
+    observable). Thresholds are lowered (and restored) on the SHARED
+    session so local-mode data volumes trip the skew detector — never
+    build_session + stop() here: stopping a session kills the shared
+    SparkContext for the rest of the suite."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
     try:
         left = spark.range(0, 200_000).select(
             F.when(F.col("id") % 100 < 97, F.lit(0))
@@ -130,4 +128,8 @@ def test_aqe_splits_skewed_join():
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan
     finally:
-        spark.stop()
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
