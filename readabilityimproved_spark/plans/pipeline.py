@@ -184,8 +184,17 @@ def run_extraction(
         # lineage rows keep "completing" them
         _clear_output(spark, output_dir)
 
+    # iterate the partitions that actually EXIST in the corpus, not
+    # range(num_parts): a corpus written with a stored `part` column
+    # keeps it (with_part), so a smaller num_parts would silently skip
+    # every part >= num_parts -- a partial run reporting success. The
+    # distinct on a partition column resolves from the file index (one
+    # bounded job; <= #parts values), never a data scan.
+    actual_parts = sorted(
+        r["part"] for r in docs.select("part").distinct().collect()
+    )
     done = completed_parts(spark, lineage_path) if resume else set()
-    all_parts = [p for p in range(num_parts) if p not in done]
+    all_parts = [p for p in actual_parts if p not in done]
     wave_size = max(1, -(-len(all_parts) // waves)) if all_parts else 1
     stats = {"docs": 0, "waves_run": 0, "parts_skipped": len(done)}
 
@@ -291,6 +300,7 @@ def run_extraction(
                     int(by_part[p]["e"] or 0) if p in by_part else 0,
                     "ok",
                     attempt,
+                    w // wave_size,  # wave ordinal: wall_ms is per-WAVE
                     wall_ms,
                 )
                 for p in wave_parts
@@ -309,7 +319,7 @@ def run_extraction(
                 lineage_rows,
                 "part int, doc_count bigint, span_count bigint,"
                 " image_count bigint, error_count bigint, status string,"
-                " attempt int, wall_ms int",
+                " attempt int, wave int, wall_ms int",
             )
             lineage.write.mode("append").parquet(lineage_path)
             stats["waves_run"] += 1
@@ -344,6 +354,53 @@ def run_extraction(
     except Exception:
         pass
     return stats
+
+
+def job_summary(
+    spark: SparkSession, output_dir: str, num_parts: int | None = None
+) -> "DataFrame":
+    """Operational health report over a run's committed lineage: one
+    row per attempt with part/doc/span/image/error totals, summed task
+    wall time, and effective docs/sec; ``num_parts`` adds the
+    completion fraction (resumable jobs report partial progress).
+
+    Reads only the (tiny) lineage table -- never the extracted data --
+    so it is safe to run against a live job's output directory.
+    ``wall_ms`` is stored per WAVE (repeated on every part row of the
+    wave), so wave wall is counted ONCE per (attempt, wave)."""
+    lineage = spark.read.parquet(os.path.join(output_dir, "lineage"))
+    per_wave = lineage.groupBy("attempt", "wave").agg(
+        F.countDistinct("part").alias("parts_done"),
+        F.sum("doc_count").alias("docs"),
+        F.sum("span_count").alias("spans"),
+        F.sum("image_count").alias("images"),
+        F.sum("error_count").alias("errors"),
+        F.max("wall_ms").alias("wave_wall_ms"),
+    )
+    agg = (
+        per_wave.groupBy("attempt")
+        .agg(
+            F.count(F.lit(1)).alias("waves"),
+            F.sum("parts_done").alias("parts_done"),
+            F.sum("docs").alias("docs"),
+            F.sum("spans").alias("spans"),
+            F.sum("images").alias("images"),
+            F.sum("errors").alias("errors"),
+            F.sum("wave_wall_ms").alias("wall_ms_sum"),
+        )
+        .withColumn(
+            "docs_per_sec",
+            F.round(
+                F.col("docs") / (F.col("wall_ms_sum") / 1000.0), 1
+            ),
+        )
+    )
+    if num_parts is not None:
+        agg = agg.withColumn(
+            "completion",
+            F.round(F.col("parts_done") / F.lit(num_parts), 4),
+        )
+    return agg.orderBy("attempt")
 
 
 def _clear_output(spark: SparkSession, output_dir: str) -> None:

@@ -402,6 +402,54 @@ def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
     assert n_fp == n_distinct == 4  # 2 history + epsilon-zeta + eta-theta
 
 
+def test_job_summary_reports_run_health(spark, tmp_path):
+    """job_summary totals match run_extraction's returned stats; wave
+    wall time is counted once per wave, not once per part row; the
+    completion fraction reflects num_parts."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(spark, 40, corpus)
+    # strip the stored part column so num_parts=8 drives the derivation
+    corpus8 = str(tmp_path / "corpus8")
+    spark.read.parquet(corpus).drop("part").write.parquet(corpus8)
+    out = str(tmp_path / "out")
+    stats = P.run_extraction(
+        spark, corpus8, out, num_parts=8, waves=2, resume=False
+    )
+    rows = P.job_summary(spark, out, num_parts=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["docs"] == stats["docs"] == 40
+    assert r["parts_done"] == 8 and r["waves"] == 2
+    assert r["completion"] == 1.0
+    # per-wave wall counted once: sum over lineage rows would be
+    # parts-per-wave times larger
+    lineage = spark.read.parquet(f"{out}/lineage")
+    naive = lineage.agg(F.sum("wall_ms")).collect()[0][0]
+    assert r["wall_ms_sum"] <= naive
+
+
+def test_run_extraction_covers_stored_parts_beyond_num_parts(spark, tmp_path):
+    """A corpus carrying a stored part column wider than num_parts must
+    still be processed COMPLETELY: the job iterates the partitions that
+    exist, not range(num_parts) (which silently skipped parts >=
+    num_parts and reported success on a fraction of the corpus)."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "c")  # synth stores part in 0..63
+    write_synth_corpus(spark, 40, corpus)
+    out = str(tmp_path / "o")
+    stats = P.run_extraction(
+        spark, corpus, out, num_parts=8, waves=2, resume=False
+    )
+    assert stats["docs"] == 40
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.count() == 40
+
+
 def test_corpus_format_roundtrip_drives_kernel(spark, tmp_path):
     """ORC and JSON corpus roundtrips feed the extraction kernel with
     results identical to the parquet path (format breadth of the
