@@ -531,6 +531,44 @@ def test_dedup_keep_representative(spark):
     assert kept == {1, 5, 7}
 
 
+def test_contains_markup_guard_is_sound_on_random_docs():
+    """The serialize-skip guard's one-way contract: whenever
+    contains_markup says False, the serialized HTML provably contains
+    no needle — across random docs mixing br/font elements, '<br' in
+    comments and attribute values, and '<br' in TEXT (which escapes to
+    &lt;br and must NOT force a serialize)."""
+    import random
+
+    from readabilityimproved_spark.dom import parse
+
+    rng = random.Random(77)
+    pieces = [
+        "<p>plain text</p>",
+        "<p>a &lt;br&gt; as text</p>",
+        "<p>literal <br> element</p>",
+        "<font size=2>f</font>",
+        "<!-- a <BR> inside a comment -->",
+        '<div title="has <br> in attr">d</div>',
+        "<p>text with < stray bracket br</p>",
+        "<div><p>nested</p><span>s</span></div>",
+    ]
+    needles = ("<br", "<font")
+    tags = frozenset(("br", "font"))
+    for _ in range(60):
+        html = "<body>" + "".join(
+            rng.choice(pieces) for _ in range(rng.randint(1, 6))
+        ) + "</body>"
+        doc = parse(html)
+        body = doc.body()
+        claims = body.contains_markup(tags, needles)
+        serialized = body.html().lower()
+        has = any(n in serialized for n in needles)
+        if not claims:
+            assert not has, html  # False must PROVE absence
+        if has:
+            assert claims, html  # presence must be detected
+
+
 def test_reading_order_matches_python_reference_on_random_layouts(spark):
     """Randomized cross-check of the banded two-column ordering rule
     against a pure-Python reference: random pages of full-width /
