@@ -139,6 +139,61 @@ def _fs_list_part_dirs(spark: SparkSession, path: str) -> set[str]:
     }
 
 
+def _fs_part_sizes(spark: SparkSession, path: str) -> dict[int, int]:
+    """Bytes per ``part=N`` directory under ``path`` from ONE recursive
+    ``listFiles`` stream (the same single-listing discipline as
+    _fs_list_part_dirs -- never one RPC per partition). Empty when the
+    input is not part-partitioned."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return {}
+    sizes: dict[int, int] = {}
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        parent = st.getPath().getParent().getName()
+        if parent.startswith("part="):
+            try:
+                part = int(parent[5:])
+            except ValueError:
+                continue
+            sizes[part] = sizes.get(part, 0) + int(st.getLen())
+    return sizes
+
+
+def plan_waves(
+    parts: list[int],
+    waves: int,
+    sizes: dict[int, int] | None = None,
+) -> list[list[int]]:
+    """Group ``parts`` into at most ``waves`` batches.
+
+    With ``sizes`` (bytes per part): greedy LPT packing -- largest part
+    to the currently lightest wave -- so each wave carries ~equal BYTES.
+    Wave = checkpoint granularity: with count-split waves, one giant
+    partition makes its wave dominate the run and a crash there loses
+    the most work; byte-balanced waves bound the loss to ~total/waves
+    regardless of skew. Without sizes: even count split (legacy).
+    Deterministic: ties broken by part id."""
+    parts = list(parts)
+    if not parts:
+        return []
+    waves = max(1, min(waves, len(parts)))
+    if not sizes:
+        wave_size = -(-len(parts) // waves)
+        return [
+            parts[i : i + wave_size] for i in range(0, len(parts), wave_size)
+        ]
+    order = sorted(parts, key=lambda p: (-sizes.get(p, 0), p))
+    packed: list[list[int]] = [[] for _ in range(waves)]
+    loads = [0] * waves
+    for p in order:
+        i = min(range(waves), key=lambda w: (loads[w], w))
+        packed[i].append(p)
+        loads[i] += sizes.get(p, 0)
+    return [sorted(w) for w in packed if w]
+
+
 def completed_parts(spark: SparkSession, lineage_path: str) -> set[int]:
     # cheap existence check first (on the path's OWN filesystem): avoids a
     # logged AnalysisException stack on every fresh run
@@ -195,7 +250,11 @@ def run_extraction(
     )
     done = completed_parts(spark, lineage_path) if resume else set()
     all_parts = [p for p in actual_parts if p not in done]
-    wave_size = max(1, -(-len(all_parts) // waves)) if all_parts else 1
+    # byte-balanced waves when the input is part-partitioned (one
+    # recursive listing); even count split otherwise -- see plan_waves
+    wave_groups = plan_waves(
+        all_parts, waves, _fs_part_sizes(spark, input_path)
+    )
     stats = {"docs": 0, "waves_run": 0, "parts_skipped": len(done)}
 
     # idempotent wave writes: dynamic partition overwrite replaces ONLY the
@@ -210,8 +269,7 @@ def run_extraction(
     spark.conf.set(overwrite_key, "dynamic")
     try:
         attempt = int(time.time())
-        for w in range(0, len(all_parts), wave_size):
-            wave_parts = all_parts[w : w + wave_size]
+        for wave_idx, wave_parts in enumerate(wave_groups):
             # partition-pruned scan: `part` is a parquet partition column
             # when the corpus was written by sources.synth
             wave_df = docs.filter(F.col("part").isin(wave_parts))
@@ -230,7 +288,7 @@ def run_extraction(
             # speculation). Expression count is CONSTANT -- per-part
             # detail comes from the committed output below, never from
             # per-part conditional sums (O(parts) codegen at 10^4+ parts).
-            obs = Observation(f"wave_{attempt}_{w}")
+            obs = Observation(f"wave_{attempt}_{wave_idx}")
             extracted = extracted.observe(
                 obs,
                 F.count(F.lit(1)).alias("docs"),
@@ -300,7 +358,7 @@ def run_extraction(
                     int(by_part[p]["e"] or 0) if p in by_part else 0,
                     "ok",
                     attempt,
-                    w // wave_size,  # wave ordinal: wall_ms is per-WAVE
+                    wave_idx,  # wave ordinal: wall_ms is per-WAVE
                     wall_ms,
                 )
                 for p in wave_parts
@@ -311,7 +369,7 @@ def run_extraction(
             m = obs.get
             if int(m.get("docs") or 0) != sum(r[1] for r in lineage_rows):
                 print(
-                    f"[pipeline] wave {w}: observed docs {m.get('docs')} != "
+                    f"[pipeline] wave {wave_idx}: observed docs {m.get('docs')} != "
                     f"committed {sum(r[1] for r in lineage_rows)}; "
                     "lineage uses committed counts"
                 )

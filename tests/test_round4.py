@@ -402,6 +402,50 @@ def test_fingerprint_index_incremental_roundtrip(spark, tmp_path):
     assert n_fp == n_distinct == 4  # 2 history + epsilon-zeta + eta-theta
 
 
+def test_plan_waves_balances_bytes():
+    """LPT packing: one giant partition gets a wave of its own; without
+    sizes the legacy even count split applies; determinism holds."""
+    from readabilityimproved_spark.plans.pipeline import plan_waves
+
+    sizes = {0: 1000, 1: 10, 2: 10, 3: 10}
+    groups = plan_waves([0, 1, 2, 3], 2, sizes)
+    assert sorted(map(tuple, groups)) == [(0,), (1, 2, 3)]
+    # no sizes -> even count split, order preserved
+    assert plan_waves([5, 6, 7, 8], 2) == [[5, 6], [7, 8]]
+    # more waves than parts collapses; empty input is empty
+    assert plan_waves([1], 4, {1: 5}) == [[1]]
+    assert plan_waves([], 4) == []
+    assert plan_waves([0, 1, 2, 3], 2, sizes) == groups  # deterministic
+
+
+def test_pipeline_waves_isolate_giant_partition(spark, tmp_path):
+    """End to end: a corpus where one partition holds ~10x the bytes
+    runs with that partition isolated in its own wave (read back from
+    the lineage wave column), and all documents are still processed."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import synth_corpus_df
+
+    docs = synth_corpus_df(spark, 60, num_slices=4).drop("part")
+    num = F.regexp_extract("doc_id", r"(\d+)", 1).cast("int")
+    skewed = docs.withColumn(
+        "part",
+        F.when(num < 40, F.lit(0))  # 2/3 of docs in part 0
+        .otherwise(F.pmod(num, F.lit(3)) + 1)
+        .cast("int"),
+    )
+    corpus = str(tmp_path / "c")
+    skewed.repartition(4, "part").write.partitionBy("part").parquet(corpus)
+    out = str(tmp_path / "o")
+    stats = P.run_extraction(
+        spark, corpus, out, num_parts=4, waves=2, resume=False
+    )
+    assert stats["docs"] == 60
+    lineage = spark.read.parquet(f"{out}/lineage")
+    wave_of = {r["part"]: r["wave"] for r in lineage.collect()}
+    others = {wave_of[p] for p in (1, 2, 3)}
+    assert len(others) == 1 and wave_of[0] not in others
+
+
 def test_job_summary_reports_run_health(spark, tmp_path):
     """job_summary totals match run_extraction's returned stats; wave
     wall time is counted once per wave, not once per part row; the
