@@ -185,7 +185,12 @@ def main() -> None:
         pipe_runs.append(round(sec_i, 3))
     import statistics as _st
 
-    pipe_sec = _st.median(pipe_runs)
+    # same cold/warm discipline as the kernel phase: the FIRST pipeline
+    # execution pays one-time codegen/JIT/page-cache costs (measured
+    # ~1.5-2x); it is reported separately, the headline is the median
+    # of the remaining (warm) reps
+    pipe_cold = pipe_runs[0]
+    pipe_sec = _st.median(pipe_runs[1:]) if len(pipe_runs) > 1 else pipe_runs[0]
     spark.stop()
 
     # --- scaling: pinned N=2 vs 4N=8 subprocesses, repeated for spread ----
@@ -222,7 +227,9 @@ def main() -> None:
             "sec": round(pipe_sec, 3),
             "docs": pipe_docs,
             "docs_per_sec": round(pipe_docs / pipe_sec, 1),
-            "runs_sec": pipe_runs,  # median published; spread = jitter
+            "cold_sec": pipe_cold,  # first run; headline = warm median
+            "docs_per_sec_cold": round(pipe_docs / pipe_cold, 1),
+            "runs_sec": pipe_runs,  # full spread published
             "docs_per_sec_best": round(pipe_docs / min(pipe_runs), 1),
             "includes": "wave checkpointing, parquet writes, lineage/metrics",
         },
@@ -266,7 +273,7 @@ without a shuffle.
 |---|---|
 | local[{sc['full_width_cores']}] cold first run (what the driver measures) | **{result['docs_per_sec_cold']:,}** |
 | local[{sc['full_width_cores']}] warm best-of-3 | {result['docs_per_sec']:,} |
-| full wave-checkpointed pipeline (incl. parquet writes + lineage; median of {len(result['pipeline'].get('runs_sec', [0]))} reps, spread {result['pipeline'].get('runs_sec', '--')} s) | {result['pipeline']['docs_per_sec']:,} |
+| full wave-checkpointed pipeline, warm median of {max(len(result['pipeline'].get('runs_sec', [0])) - 1, 1)} reps (cold first run {result['pipeline'].get('cold_sec', '--')} s separate; full spread {result['pipeline'].get('runs_sec', '--')} s) | {result['pipeline']['docs_per_sec']:,} |
 
 Kernel run spread this measurement (first = cold):
 {result['kernel_runs_sec']} s. Host throughput jitters +/-15%
