@@ -240,10 +240,11 @@ class Element:
         """Could ``self.html()`` contain any of ``needles`` (lowercase
         markup prefixes like ``"<br"``)?
 
-        Checks element tags, attribute VALUES (serialized unescaped --
-        ``<`` survives in attrs), and comment bodies, all
-        case-insensitively. Regular text nodes are ``&lt;``-escaped on
-        serialize, so they can never produce literal markup. A True is
+        Checks element tags, attribute KEYS and VALUES (both serialized
+        with ``<`` intact -- html.parser happily yields attr names like
+        ``a<br``), and comment bodies, all case-insensitively. Regular
+        text nodes are ``&lt;``-escaped on serialize, so they can never
+        produce literal markup. A True is
         conservative (a needle in a harmless position still reports
         True); a False PROVES the serialize->regex rewrites keyed on
         these needles are no-ops, letting the kernel skip whole-document
@@ -260,9 +261,9 @@ class Element:
             if node.tag in tags:
                 return True
             if node.attrs:
-                for v in node.attrs.values():
-                    lv = v.lower()
-                    if any(x in lv for x in needles):
+                for k, v in node.attrs.items():
+                    kv = (k + "\x00" + v).lower()
+                    if any(x in kv for x in needles):
                         return True
             if node.children:
                 stack.extend(node.children)

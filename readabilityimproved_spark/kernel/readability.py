@@ -60,6 +60,11 @@ _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCI
 #: tree cannot emit these markup substrings
 _BR_TAGS = frozenset(("br",))
 _BRFONT_TAGS = frozenset(("br", "font"))
+#: literal prefixes of every alternation in REGEX_REPLACE_BRS ('<br...')
+#: and REGEX_REPLACE_FONTS ('<font...' | '</font...'); '</font' was
+#: missing until round 5 -- a comment/attr containing only a close-font
+#: token skipped a rewrite the reference performs
+_PREP_NEEDLES = ("<br", "<font", "</font")
 _PEO_TAGS = frozenset(("img", "embed", "object"))
 # ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
@@ -267,9 +272,11 @@ class ReadabilityKernel:
         # the DIV_TO_P gate), so skipping is semantics-preserving and
         # saves the dominant parse cost on <br>/<font>-free documents.
         # Skip even the SERIALIZE when the tree provably cannot emit a
-        # '<br'/'<font' substring (contains_markup): both rewrite
-        # patterns open with those literals, so absence proves identity.
-        if body.contains_markup(_BRFONT_TAGS, ("<br", "<font")):
+        # '<br'/'<font'/'</font' substring (contains_markup): every
+        # alternation of both rewrite patterns opens with one of those
+        # literals (REGEX_REPLACE_FONTS matches close tags too), so
+        # absence proves identity.
+        if body.contains_markup(_BRFONT_TAGS, _PREP_NEEDLES):
             before = body.html()
             html = P.REGEX_REPLACE_BRS.sub("</p><p>", before)
             html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)

@@ -576,14 +576,22 @@ def test_dedup_keep_representative(spark):
 
 
 def test_contains_markup_guard_is_sound_on_random_docs():
-    """The serialize-skip guard's one-way contract: whenever
-    contains_markup says False, the serialized HTML provably contains
-    no needle — across random docs mixing br/font elements, '<br' in
-    comments and attribute values, and '<br' in TEXT (which escapes to
-    &lt;br and must NOT force a serialize)."""
+    """The serialize-skip guard's one-way contract, judged against the
+    ACTUAL rewrite regexes (not a re-typed needle list): whenever
+    contains_markup says False, applying REGEX_REPLACE_BRS and
+    REGEX_REPLACE_FONTS to the serialized HTML must be the identity.
+    Random docs mix br/font elements, needles in comments / attr values
+    / attr KEYS (html.parser yields names like 'a<br'), a close-font
+    token with no open ('</font' — the round-5 soundness fix), and
+    '<br' in TEXT (escapes to &lt;br and must NOT force a serialize)."""
     import random
 
+    from readabilityimproved_spark import patterns as P
     from readabilityimproved_spark.dom import parse
+    from readabilityimproved_spark.kernel.readability import (
+        _BRFONT_TAGS,
+        _PREP_NEEDLES,
+    )
 
     rng = random.Random(77)
     pieces = [
@@ -592,25 +600,29 @@ def test_contains_markup_guard_is_sound_on_random_docs():
         "<p>literal <br> element</p>",
         "<font size=2>f</font>",
         "<!-- a <BR> inside a comment -->",
+        "<!-- stray close </font inside a comment -->",
         '<div title="has <br> in attr">d</div>',
+        '<div title="close </Font > in attr">d</div>',
+        '<div a<br="attr key needle">d</div>',
         "<p>text with < stray bracket br</p>",
         "<div><p>nested</p><span>s</span></div>",
     ]
-    needles = ("<br", "<font")
-    tags = frozenset(("br", "font"))
-    for _ in range(60):
+    for _ in range(120):
         html = "<body>" + "".join(
             rng.choice(pieces) for _ in range(rng.randint(1, 6))
         ) + "</body>"
         doc = parse(html)
         body = doc.body()
-        claims = body.contains_markup(tags, needles)
-        serialized = body.html().lower()
-        has = any(n in serialized for n in needles)
+        claims = body.contains_markup(_BRFONT_TAGS, _PREP_NEEDLES)
+        serialized = body.html()
+        rewritten = P.REGEX_REPLACE_FONTS.sub(
+            r"<\1span>", P.REGEX_REPLACE_BRS.sub("</p><p>", serialized)
+        )
         if not claims:
-            assert not has, html  # False must PROVE absence
-        if has:
-            assert claims, html  # presence must be detected
+            # False must PROVE the rewrites are a no-op
+            assert rewritten == serialized, html
+        if rewritten != serialized:
+            assert claims, html  # a real rewrite must be detected
 
 
 def test_reading_order_matches_python_reference_on_random_layouts(spark):
