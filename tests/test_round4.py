@@ -546,6 +546,64 @@ def test_neardup_clusters_transitive(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_neardup_clusters_single_action_per_round(spark, monkeypatch):
+    """Driver-action discipline (round-5 fix): every round issues ONE
+    blocking action -- the lazy checkpoint is materialized by the same
+    job that computes the convergence aggregate. Round 4 ran an eager
+    localCheckpoint *plus* a separate aggregate per round; pin that no
+    eager checkpoint ever happens and the action count stays bounded
+    by rounds, not 2x rounds."""
+    from pyspark.sql import DataFrame
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    calls = {"collect": 0, "eager": 0}
+    orig_collect, orig_local = DataFrame.collect, DataFrame.localCheckpoint
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    def counting_local(self, eager=True):
+        if eager:
+            calls["eager"] += 1
+        return orig_local(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_local)
+    # path of 9 (diameter 8): needs several pointer-jump rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    got = {tuple(r) for r in orig_collect(neardup_clusters(pairs))}
+    assert got == {(i, 1) for i in range(1, 10)}
+    assert calls["eager"] == 0, "eager checkpoint = a second action per round"
+    # fused round 1 + jump-doubling: well under the old 2-actions/round
+    assert calls["collect"] <= 6, calls
+
+
+def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches every k-th round to reliable
+    DataFrame.checkpoint: same labels, and checkpoint files actually
+    land in the directory (the durability story for executor loss)."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)] + [(100, 200)],
+        "id_a long, id_b long",
+    )
+    ckdir = tmp_path / "ck"
+    got = {
+        tuple(r)
+        for r in neardup_clusters(
+            pairs, checkpoint_dir=str(ckdir), checkpoint_interval=2
+        ).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 10)} | {(100, 100), (200, 100)}
+    written = [p for p in ckdir.rglob("*") if p.is_file()]
+    assert written, "no reliable checkpoint files were written"
+
+
 def test_neardup_clusters_round_cap_raises(spark):
     """Hitting the round cap must raise, not return a partial closure
     (silent under-merging would under-deduplicate the corpus)."""
