@@ -204,6 +204,13 @@ def ngram_jaccard_pairs(
     until an explicit unpersist no lazy consumer can trigger (the same
     leak fixed in minhash_verified_pairs; checkpoint blocks are
     ContextCleaner-managed and released on GC of the DataFrame).
+
+    Durability note: localCheckpoint truncates lineage onto
+    EXECUTOR-LOCAL blocks -- an executor loss mid-query fails the job
+    instead of recomputing. That is the right trade for this one-shot
+    two-stage query (the window is seconds); an iterative job with a
+    long exposure window should use reliable checkpointing instead (see
+    graph.neardup_clusters' checkpoint_dir).
     """
     sh = _shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))

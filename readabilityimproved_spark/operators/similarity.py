@@ -257,7 +257,7 @@ def _resolve_num_centroids(embeddings: DataFrame, num_centroids) -> int:
     scan: the round-3 version ran a full ``embeddings.count()`` -- an
     extra pass over 10^12 rows just to size k. N is taken from the
     optimized plan's CBO row-count statistic when one exists (ANALYZE'd
-    tables, local relations); a plain file scan has no row count, and
+    tables under spark.sql.cbo.enabled); a plain file scan has no row count, and
     the only way to get one would be that forbidden pass -- so the
     caller must size k explicitly (~sqrt(N) is the standard IVF
     sizing)."""
@@ -265,9 +265,16 @@ def _resolve_num_centroids(embeddings: DataFrame, num_centroids) -> int:
 
     if num_centroids is not None:
         return num_centroids
-    stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
-    row_count = stats.rowCount()
-    if row_count.isDefined():
+    try:
+        # py4j access to Catalyst internals -- not public API, so a
+        # Spark minor bump may move it; degrade to the explicit-k error
+        # rather than crash with an AttributeError/Py4JError
+        stats = embeddings._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        defined = row_count.isDefined()
+    except Exception:
+        defined = False
+    if defined:
         return max(2, int(math.isqrt(int(str(row_count.get())))))
     raise ValueError(
         "num_centroids=None needs a plan row-count statistic (ANALYZE the "

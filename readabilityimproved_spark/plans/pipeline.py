@@ -231,7 +231,9 @@ def run_extraction(
     lineage_path = os.path.join(output_dir, "lineage")
     metrics_path = os.path.join(output_dir, "metrics")
 
-    docs = with_part(spark.read.parquet(input_path), num_parts)
+    docs_raw = spark.read.parquet(input_path)
+    has_stored_part = "part" in docs_raw.columns
+    docs = with_part(docs_raw, num_parts)
 
     if not resume:
         # a rerun into a populated output_dir would otherwise mix attempts:
@@ -240,21 +242,31 @@ def run_extraction(
         _clear_output(spark, output_dir)
 
     # iterate the partitions that actually EXIST in the corpus, not
-    # range(num_parts): a corpus written with a stored `part` column
+    # blindly range(num_parts): a corpus with a stored `part` column
     # keeps it (with_part), so a smaller num_parts would silently skip
-    # every part >= num_parts -- a partial run reporting success. The
-    # distinct on a partition column resolves from the file index (one
-    # bounded job; <= #parts values), never a data scan.
-    actual_parts = sorted(
-        r["part"] for r in docs.select("part").distinct().collect()
-    )
+    # every part >= num_parts -- a partial run reporting success.
+    # Resolution order, cheapest first:
+    #  * part=N layout on disk: the single recursive listing already
+    #    fetched for wave sizing IS the part inventory -- no Spark job;
+    #  * stored `part` column, unpartitioned layout: one bounded
+    #    distinct job (column-pruned scan of `part` only);
+    #  * derived part (with_part xxhash64): pmod's range IS
+    #    0..num_parts-1, so range() is exact -- a distinct here would
+    #    be a full corpus scan just to rediscover it.
+    part_sizes = _fs_part_sizes(spark, input_path)
+    if part_sizes:
+        actual_parts = sorted(part_sizes)
+    elif has_stored_part:
+        actual_parts = sorted(
+            r["part"] for r in docs.select("part").distinct().collect()
+        )
+    else:
+        actual_parts = list(range(num_parts))
     done = completed_parts(spark, lineage_path) if resume else set()
     all_parts = [p for p in actual_parts if p not in done]
-    # byte-balanced waves when the input is part-partitioned (one
-    # recursive listing); even count split otherwise -- see plan_waves
-    wave_groups = plan_waves(
-        all_parts, waves, _fs_part_sizes(spark, input_path)
-    )
+    # byte-balanced waves when the input is part-partitioned (the same
+    # listing); even count split otherwise -- see plan_waves
+    wave_groups = plan_waves(all_parts, waves, part_sizes)
     stats = {"docs": 0, "waves_run": 0, "parts_skipped": len(done)}
 
     # idempotent wave writes: dynamic partition overwrite replaces ONLY the
@@ -425,8 +437,22 @@ def job_summary(
     Reads only the (tiny) lineage table -- never the extracted data --
     so it is safe to run against a live job's output directory.
     ``wall_ms`` is stored per WAVE (repeated on every part row of the
-    wave), so wave wall is counted ONCE per (attempt, wave)."""
-    lineage = spark.read.parquet(os.path.join(output_dir, "lineage"))
+    wave), so wave wall is counted ONCE per (attempt, wave).
+
+    Back-compat: ``wave`` first appeared in the round-4 lineage schema.
+    Resuming a pre-round-4 output_dir appends new-schema files next to
+    old ones, and a plain parquet read infers from ONE footer -- so the
+    read merges schemas and old rows (no wave) land in wave -1 instead
+    of raising or lumping under null."""
+    lineage = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(output_dir, "lineage")
+    )
+    if "wave" not in lineage.columns:
+        lineage = lineage.withColumn("wave", F.lit(-1))
+    else:
+        lineage = lineage.withColumn(
+            "wave", F.coalesce(F.col("wave"), F.lit(-1))
+        )
     per_wave = lineage.groupBy("attempt", "wave").agg(
         F.countDistinct("part").alias("parts_done"),
         F.sum("doc_count").alias("docs"),

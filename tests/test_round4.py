@@ -553,7 +553,9 @@ def test_neardup_clusters_single_action_per_round(spark, monkeypatch):
     localCheckpoint *plus* a separate aggregate per round; pin that no
     eager checkpoint ever happens and the action count stays bounded
     by rounds, not 2x rounds."""
-    from pyspark.sql import DataFrame
+    # the CLASSIC class: patching the pyspark.sql.DataFrame abstract
+    # base intercepts nothing in Spark 4
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from readabilityimproved_spark.operators.graph import neardup_clusters
 

@@ -1,0 +1,139 @@
+"""Round-5 pins: IVF sizing fallback hardening, pipeline metadata-job
+elision, lineage schema back-compat."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _count_distinct_calls(monkeypatch):
+    # patch the CLASSIC class: pyspark.sql.DataFrame is an abstract base
+    # in Spark 4 and instances override its methods, so patching the
+    # base intercepts nothing
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"distinct": 0}
+    orig = DataFrame.distinct
+
+    def counting(self):
+        calls["distinct"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "distinct", counting)
+    return calls
+
+
+def test_run_extraction_part_discovery_no_job_on_partitioned(
+    spark, tmp_path, monkeypatch
+):
+    """On a part=N-partitioned corpus the part inventory comes from the
+    wave-sizing filesystem listing -- run_extraction must not launch a
+    distinct job (round-5: was one extra Spark job per run)."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(spark, 40, corpus)
+    calls = _count_distinct_calls(monkeypatch)
+    stats = P.run_extraction(
+        spark, corpus, str(tmp_path / "out"), num_parts=8, waves=2,
+        resume=False,
+    )
+    assert stats["docs"] == 40
+    assert calls["distinct"] == 0, calls
+
+
+def test_run_extraction_part_discovery_unpartitioned_layouts(
+    spark, tmp_path, monkeypatch
+):
+    """Unpartitioned layout with a STORED part column: one bounded
+    distinct discovers the inventory (values can exceed num_parts).
+    No part column at all: the derived pmod range is exact, so again
+    no distinct -- a full-corpus scan to rediscover 0..n-1 is the
+    anti-pattern the round-4 comment wrongly claimed never happened."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    # stored part column, flat layout -> exactly one distinct
+    corpus = str(tmp_path / "flat")
+    write_synth_corpus(spark, 40, corpus, partition_by_part=False)
+    calls = _count_distinct_calls(monkeypatch)
+    stats = P.run_extraction(
+        spark, corpus, str(tmp_path / "out1"), num_parts=8, waves=2,
+        resume=False,
+    )
+    assert stats["docs"] == 40
+    assert calls["distinct"] == 1, calls
+
+    # no part column -> derived range, zero distinct jobs
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(corpus).drop("part").write.parquet(bare)
+    calls2 = _count_distinct_calls(monkeypatch)
+    stats2 = P.run_extraction(
+        spark, bare, str(tmp_path / "out2"), num_parts=8, waves=2,
+        resume=False,
+    )
+    assert stats2["docs"] == 40
+    assert calls2["distinct"] == 0, calls2
+
+
+def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
+    """A pre-round-4 lineage (no wave column) mixed with new-schema
+    rows must not break job_summary: schemas merge and old rows land
+    in wave -1 (parquet infers from ONE footer without mergeSchema)."""
+    import os
+
+    from readabilityimproved_spark.plans.pipeline import job_summary
+
+    lineage = str(tmp_path / "run" / "lineage")
+    old = spark.createDataFrame(
+        [(0, 10, 50, 5, 0, "ok", 111, 800)],
+        "part int, doc_count bigint, span_count bigint, image_count bigint,"
+        " error_count bigint, status string, attempt int, wall_ms int",
+    )
+    old.write.mode("append").parquet(lineage)
+    new = spark.createDataFrame(
+        [(1, 20, 90, 9, 1, "ok", 222, 0, 900)],
+        "part int, doc_count bigint, span_count bigint, image_count bigint,"
+        " error_count bigint, status string, attempt int, wave int,"
+        " wall_ms int",
+    )
+    new.write.mode("append").parquet(lineage)
+    rows = {r["attempt"]: r for r in job_summary(
+        spark, str(tmp_path / "run"), num_parts=4
+    ).collect()}
+    assert rows[111]["docs"] == 10 and rows[222]["docs"] == 20
+    assert rows[111]["wall_ms_sum"] == 800
+
+
+def test_resolve_num_centroids_survives_internal_api_loss(spark):
+    """_resolve_num_centroids reads Catalyst plan stats through py4j
+    internals; if a Spark upgrade moves that surface the helper must
+    degrade to the explicit-k ValueError, not crash with a Py4JError."""
+    from readabilityimproved_spark.operators import similarity as S
+
+    class Broken:
+        def __getattr__(self, name):  # any internals access explodes
+            raise RuntimeError("internal API moved")
+
+    class FakeDF:
+        _jdf = Broken()
+
+    # explicit k passes straight through, no internals touched
+    assert S._resolve_num_centroids(FakeDF(), 7) == 7
+    with pytest.raises(ValueError, match="num_centroids"):
+        S._resolve_num_centroids(FakeDF(), None)
+    # and the happy path still resolves from an ANALYZE'd table's stats
+    # (catalog rowCount reaches plan stats only under CBO; set/restore
+    # the conf on the shared session -- never stop() it)
+    spark.createDataFrame(
+        [(i, [0.1, 0.2]) for i in range(9)],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").saveAsTable("r5_emb_stats")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.sql("ANALYZE TABLE r5_emb_stats COMPUTE STATISTICS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        assert S._resolve_num_centroids(spark.table("r5_emb_stats"), None) == 3
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS r5_emb_stats")
