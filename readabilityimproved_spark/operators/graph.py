@@ -151,12 +151,17 @@ def dedup_keep_representative(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The cluster-level dedup a pipeline actually applies: drop every
     clustered document EXCEPT its component's representative (minimum
     id). Documents in no pair survive untouched; the anti join keys on
-    the (small) loser list, which Catalyst/AQE broadcasts."""
-    clusters = neardup_clusters(pairs, id_a=id_a, id_b=id_b)
+    the (small) loser list, which Catalyst/AQE broadcasts.
+    ``checkpoint_dir`` passes through to neardup_clusters for reliable
+    checkpoints on long cluster runs."""
+    clusters = neardup_clusters(
+        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+    )
     losers = clusters.filter(
         F.col("cluster_id") != F.col("doc_id")
     ).select(F.col("doc_id").alias(id_col))
