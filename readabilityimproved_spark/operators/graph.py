@@ -11,6 +11,11 @@ refinement of Kiveris et al., "Connected Components in MapReduce and
 Beyond", SoCC'14, which bounds rounds to O(log^2 n) on adversarial
 graphs):
 
+* a single Arrow-batched PER-PARTITION UNION-FIND pass first contracts
+  each partition's edges to a star (_contract_local): identical
+  components, but a duplicate family's clique collapses to a hub and
+  intra-partition chains to depth 1, so the iteration below runs over
+  at most one row per node and only cross-partition diameter is left;
 * every node starts labeled with itself;
 * round 1 is FUSED into initialization: min(self, neighbors) is just a
   groupBy over the symmetrized edge list -- no join at all;
@@ -58,6 +63,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _contract_local(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Arrow-batched per-partition union-find: replace every
+    partition's edge set with a STAR rooted at the partition-local
+    minimum -- (node, local_root) rows, plus a (root, root) self edge
+    so even a degenerate single-node component stays in the node set.
+
+    Connectivity-preserving (each partition's edges and its star span
+    the same nodes with the same local components, and shared nodes
+    stitch stars across partitions), so the Hash-Min fixpoint over the
+    stars equals the fixpoint over the raw edges. What it buys at
+    10^12 edges:
+
+    * the iterated edge table shrinks from |E| rows to at most the
+      per-partition node count -- near-dup components are mostly
+      CLIQUES (one duplicated document family, emitted contiguously by
+      the bucketed LSH/SimHash pair generators, so a family's pairs
+      land in few partitions), and a k-clique's k*(k-1)/2 edges
+      collapse to k-1;
+    * intra-partition diameter drops to 1, so the surviving rounds
+      scale with the CROSS-partition diameter only.
+
+    One pass, no shuffle (mapInPandas over whatever partitioning the
+    pair generator produced). Memory is bounded by the distinct node
+    count of one partition -- size input partitions accordingly
+    (spark.sql.files.maxPartitionBytes) on huge edge lists.
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        [pairs.schema[id_a], pairs.schema[id_b]]
+    )
+
+    def gen(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf[id_a].tolist(), pdf[id_b].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # union by min id
+        src, dst = [], []
+        for n in parent:
+            src.append(n)
+            dst.append(find(n))  # n == root emits its (root, root) edge
+        yield pd.DataFrame({id_a: src, id_b: dst})
+
+    return pairs.select(id_a, id_b).mapInPandas(gen, out_schema)
 
 
 def neardup_clusters(
@@ -67,6 +136,7 @@ def neardup_clusters(
     max_rounds: int = 20,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every document appearing in ``pairs``;
     ``cluster_id`` is the minimum doc id of the connected component.
@@ -75,10 +145,33 @@ def neardup_clusters(
     module docstring) -- every ``checkpoint_interval``-th round is
     persisted there so an executor loss cannot kill a long job.
 
+    ``pre_contract``: run the per-partition union-find pass first
+    (_contract_local) -- identical labels, much smaller iterated edge
+    table and fewer rounds whenever a component's pairs are at all
+    co-located (bucketed pair generators emit them that way). Disable
+    to iterate the raw pairs, e.g. when partitions are so large the
+    per-partition node dict would not fit the Python worker.
+
+    Ids must be NUMERIC: the label-sum convergence invariant is exact
+    only because labels are numbers that strictly decrease on change
+    (hash a string id to xxhash64 first -- collisions aside, the usual
+    doc-id space here is already long).
+
     Raises if ``max_rounds`` is hit before convergence (a silent
     partial closure would merge fewer duplicates than claimed)."""
+    from pyspark.sql.types import NumericType
+
+    for col in (id_a, id_b):
+        if not isinstance(pairs.schema[col].dataType, NumericType):
+            raise TypeError(
+                f"neardup_clusters needs numeric ids; {col} is "
+                f"{pairs.schema[col].dataType.simpleString()} -- hash it "
+                "(e.g. xxhash64) before clustering"
+            )
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    if pre_contract:
+        pairs = _contract_local(pairs, id_a, id_b)
 
     def _ckpt(df: DataFrame, rnd: int) -> DataFrame:
         # lazy in both branches: the convergence aggregate below is the

@@ -76,6 +76,52 @@ def test_run_extraction_part_discovery_unpartitioned_layouts(
     assert calls2["distinct"] == 0, calls2
 
 
+def test_clusters_pre_contract_identical_labels(spark):
+    """The per-partition union-find contraction is a pure plan
+    optimization: labels (including cluster_id = global component min)
+    must be identical with and without it, across random graphs and
+    partitionings."""
+    import random
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    rng = random.Random(5150)
+    edges = set()
+    for _ in range(150):
+        a, b = rng.sample(range(300), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges |= {(i, i + 1) for i in range(200, 260)}  # a long chain
+    edges |= {(7, t) for t in range(270, 281)}      # a star
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    for layout in (df, df.repartition(11), df.coalesce(1)):
+        on = {tuple(r) for r in neardup_clusters(layout).collect()}
+        off = {
+            tuple(r)
+            for r in neardup_clusters(layout, pre_contract=False).collect()
+        }
+        assert on == off
+
+
+def test_clusters_pre_contract_selfpair_and_id_typing(spark):
+    """Degenerate self-pairs keep their node in the output (the star
+    emits a (root, root) edge), and non-numeric ids fail FAST with
+    hashing guidance -- the label-sum convergence invariant is only
+    exact for numbers, so a string id must not reach the iteration."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(9, 9), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {tuple(r) for r in neardup_clusters(pairs).collect()}
+    assert got == {(9, 9), (2, 2), (3, 2), (4, 2)}
+
+    strings = spark.createDataFrame(
+        [("a", "b")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="xxhash64"):
+        neardup_clusters(strings)
+
+
 def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     """A pre-round-4 lineage (no wave column) mixed with new-schema
     rows must not break job_summary: schemas merge and old rows land
