@@ -102,7 +102,41 @@ def test_clusters_pre_contract_identical_labels(spark):
         assert on == off
 
 
-def test_clusters_pre_contract_selfpair_and_id_typing(spark):
+def test_clusters_pre_contract_cuts_rounds_on_colocated_chains(spark, monkeypatch):
+    """The point of the star contraction: when a component's edges are
+    co-located (as bucketed pair generators emit them), intra-partition
+    diameter collapses to 1 and the iteration needs strictly fewer
+    rounds. Count convergence actions (one per round) both ways over a
+    long chain packed into one partition."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], "id_a long, id_b long"
+    ).coalesce(1)
+
+    def rounds_for(**kw):
+        calls = {"collect": 0}
+        orig = DataFrame.collect
+
+        def counting(self):
+            calls["collect"] += 1
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "collect", counting)
+        try:
+            res = neardup_clusters(chain, **kw)
+            labels = {tuple(r) for r in orig(res)}
+        finally:
+            monkeypatch.setattr(DataFrame, "collect", orig)
+        assert labels == {(i, 0) for i in range(601)}
+        return calls["collect"]
+
+    contracted, raw = rounds_for(), rounds_for(pre_contract=False)
+    # diameter 600: raw needs ~log2(600) pointer-jump rounds; the
+    # contracted star converges in ~2
+    assert contracted <= 3 < raw
     """Degenerate self-pairs keep their node in the output (the star
     emits a (root, root) edge), and non-numeric ids fail FAST with
     hashing guidance -- the label-sum convergence invariant is only
