@@ -236,19 +236,22 @@ class Element:
                     stack.extend(node.children)
         return counts
 
-    def contains_markup(self, tags: frozenset, needles: tuple) -> bool:
+    def contains_markup(self, needles: tuple) -> bool:
         """Could ``self.html()`` contain any of ``needles`` (lowercase
         markup prefixes like ``"<br"``)?
 
-        Checks element tags, attribute KEYS and VALUES (both serialized
-        with ``<`` intact -- html.parser happily yields attr names like
-        ``a<br``), and comment bodies, all case-insensitively. Regular
-        text nodes are ``&lt;``-escaped on serialize, so they can never
-        produce literal markup. A True is
-        conservative (a needle in a harmless position still reports
-        True); a False PROVES the serialize->regex rewrites keyed on
-        these needles are no-ops, letting the kernel skip whole-document
-        serialization on the common (needle-free) path."""
+        Checks the serialized TAG TOKENS (``<tag`` and ``</tag`` -- a
+        substring test, so prefix tags like ``<font-face>`` that the
+        rewrite regexes also match are caught, not just exact ``font``),
+        attribute KEYS and VALUES (both serialized with ``<`` intact --
+        html.parser happily yields attr names like ``a<br``), and
+        comment bodies, all against the parser's lowercased forms.
+        Regular text nodes are ``&lt;``-escaped on serialize, so they
+        can never produce literal markup. A True is conservative (a
+        needle in a harmless position still reports True); a False
+        PROVES the serialize->regex rewrites keyed on these needles are
+        no-ops, letting the kernel skip whole-document serialization on
+        the common (needle-free) path."""
         stack = [self]
         while stack:
             node = stack.pop()
@@ -258,7 +261,8 @@ class Element:
                     if any(x in d for x in needles):
                         return True
                 continue
-            if node.tag in tags:
+            toks = "<" + node.tag + "\x00</" + node.tag
+            if any(x in toks for x in needles):
                 return True
             if node.attrs:
                 for k, v in node.attrs.items():

@@ -58,8 +58,6 @@ _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCI
 #: serialize-skip guards (dom.contains_markup): the serialize->regex
 #: rewrites in prep_document/prep_article are provably identity when the
 #: tree cannot emit these markup substrings
-_BR_TAGS = frozenset(("br",))
-_BRFONT_TAGS = frozenset(("br", "font"))
 #: literal prefixes of every alternation in REGEX_REPLACE_BRS ('<br...')
 #: and REGEX_REPLACE_FONTS ('<font...' | '</font...'); '</font' was
 #: missing until round 5 -- a comment/attr containing only a close-font
@@ -276,7 +274,7 @@ class ReadabilityKernel:
         # alternation of both rewrite patterns opens with one of those
         # literals (REGEX_REPLACE_FONTS matches close tags too), so
         # absence proves identity.
-        if body.contains_markup(_BRFONT_TAGS, _PREP_NEEDLES):
+        if body.contains_markup(_PREP_NEEDLES):
             before = body.html()
             html = P.REGEX_REPLACE_BRS.sub("</p><p>", before)
             html = P.REGEX_REPLACE_FONTS.sub(r"<\1span>", html)
@@ -411,7 +409,7 @@ class ReadabilityKernel:
         self._clean_styles(article_content)
         # serialize only when a '<br' substring can exist (see
         # prep_document): REGEX_KILL_BREAKS opens with the literal '<br'
-        if article_content.contains_markup(_BR_TAGS, ("<br",)):
+        if article_content.contains_markup(("<br",)):
             before = article_content.html()
             killed = P.REGEX_KILL_BREAKS.sub("<br />", before)
             if killed != before:  # skip no-op reparse (see prep_document)
@@ -437,7 +435,7 @@ class ReadabilityKernel:
             ):
                 paragraph.remove()
         # re-probe: the cleans above may have removed the only <br>s
-        if article_content.contains_markup(_BR_TAGS, ("<br",)):
+        if article_content.contains_markup(("<br",)):
             before = article_content.html()
             debreaked = _BR_BEFORE_P.sub("<p", before)
             if debreaked != before:  # skip no-op reparse (see prep_document)

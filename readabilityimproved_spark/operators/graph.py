@@ -141,9 +141,23 @@ def neardup_clusters(
     """(doc_id, cluster_id) for every document appearing in ``pairs``;
     ``cluster_id`` is the minimum doc id of the connected component.
 
-    ``checkpoint_dir``: optional reliable-checkpoint location (see
-    module docstring) -- every ``checkpoint_interval``-th round is
-    persisted there so an executor loss cannot kill a long job.
+    ``checkpoint_dir``: optional reliable-checkpoint location. In this
+    mode NOTHING is localCheckpoint-ed (local checkpoints truncate
+    lineage onto executor-local blocks, which would make an executor
+    loss fatal): the symmetrized edge table and every
+    ``checkpoint_interval``-th round's labels are written through
+    reliable ``DataFrame.checkpoint`` to the directory, intermediate
+    rounds persist() with lineage INTACT (unpersisted as soon as the
+    next round materializes), and the converged result is checkpointed
+    before returning. Losing an executor therefore costs a recompute
+    from the last reliable files (<= checkpoint_interval - 1 rounds of
+    lineage), handled by Spark's own stage retry -- no manual replay.
+    Costs vs the default mode: checkpoint rounds run their plan twice
+    (Spark writes reliable checkpoints in a separate job; the recompute
+    reads the previous round's persisted blocks, so it is one
+    round-transform, not the window), and one extra write finalizes the
+    result. The previous checkpoint dir is restored on exit when one
+    was set; the caller owns the directory's lifecycle.
 
     ``pre_contract``: run the per-partition union-find pass first
     (_contract_local) -- identical labels, much smaller iterated edge
@@ -168,74 +182,124 @@ def neardup_clusters(
                 f"{pairs.schema[col].dataType.simpleString()} -- hash it "
                 "(e.g. xxhash64) before clustering"
             )
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    # a NULL id carries no identity: drop the row up front. (Besides
+    # being meaningless, a null long reaches the Arrow contraction pass
+    # as float NaN, and NaN != NaN would spin union-find's parent walk
+    # forever.)
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     if pre_contract:
         pairs = _contract_local(pairs, id_a, id_b)
 
-    def _ckpt(df: DataFrame, rnd: int) -> DataFrame:
-        # lazy in both branches: the convergence aggregate below is the
-        # single action that materializes the blocks/files
-        if checkpoint_dir is not None and rnd % checkpoint_interval == 0:
-            return df.checkpoint(eager=False)
-        return df.localCheckpoint(eager=False)
+    reliable = checkpoint_dir is not None
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
+    if reliable:
+        try:  # JVM internals; a failure just means we can't restore
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        except Exception:
+            prev_ckpt_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
+    live_persists: list[DataFrame] = []
 
-    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # fused round 1: label = min(self, neighbors). The symmetrized edge
-    # list contains every node as `s`, so one groupBy covers the whole
-    # node set -- no join, and it doubles as label initialization.
-    labels = _ckpt(
-        edges.groupBy("s").agg(F.min("d").alias("m")).select(
-            F.col("s").alias("node"),
-            F.least(F.col("s"), F.col("m")).alias("label"),
-        ),
-        1,
-    )
-    # convergence via the label-sum invariant: labels only ever DECREASE
-    # (min of self and neighbors), so sum(label) is unchanged iff no
-    # label changed. One narrow aggregate per round, and because the
-    # checkpoint above is lazy, this SAME action materializes it.
-    first = labels.agg(
-        F.sum("label").alias("new"), F.sum("node").alias("prev")
-    ).collect()[0]
-    prev_sum, new_sum = first["prev"], first["new"]
-    for rnd in range(2, max_rounds + 2):
-        if new_sum == prev_sum:
-            return labels.select(
-                F.col("node").alias("doc_id"),
-                F.col("label").alias("cluster_id"),
+    def _stage(df: DataFrame, rnd: int) -> DataFrame:
+        # lazy in every branch: the convergence aggregate below is the
+        # single action that materializes blocks/files each round
+        if not reliable:
+            return df.localCheckpoint(eager=False)
+        if rnd % checkpoint_interval == 0:
+            return df.checkpoint(eager=False)
+        # lineage INTACT: blocks are executor-local, but a loss
+        # recomputes from the last reliable checkpoint via stage retry
+        p = df.persist()
+        live_persists.append(p)
+        return p
+
+    def _drop_persists(keep_last: bool) -> None:
+        while len(live_persists) > (1 if keep_last else 0):
+            live_persists.pop(0).unpersist(False)
+
+    def _finish(labels: DataFrame) -> DataFrame:
+        out = labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        if reliable:
+            # make the result durable and leave no cached residue
+            out = out.checkpoint(eager=True)
+            _drop_persists(keep_last=False)
+        return out
+
+    try:
+        fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        edges = fwd.unionByName(
+            fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct()
+        edges = (
+            edges.checkpoint(eager=False)
+            if reliable
+            else edges.localCheckpoint(eager=False)
+        )
+        # fused round 1: label = min(self, neighbors). The symmetrized
+        # edge list contains every node as `s`, so one groupBy covers
+        # the whole node set -- no join, and it doubles as label
+        # initialization.
+        labels = _stage(
+            edges.groupBy("s").agg(F.min("d").alias("m")).select(
+                F.col("s").alias("node"),
+                F.least(F.col("s"), F.col("m")).alias("label"),
+            ),
+            1,
+        )
+        # convergence via the label-sum invariant: labels only ever
+        # DECREASE (min of self and neighbors), so sum(label) is
+        # unchanged iff no label changed. One narrow aggregate per
+        # round, and because the stage above is lazy, this SAME action
+        # materializes it.
+        first = labels.agg(
+            F.sum("label").alias("new"), F.sum("node").alias("prev")
+        ).collect()[0]
+        prev_sum, new_sum = first["prev"], first["new"]
+        for rnd in range(2, max_rounds + 2):
+            if new_sum == prev_sum:
+                return _finish(labels)
+            if rnd == max_rounds + 1:
+                break
+            prev_sum = new_sum
+            # propagation graph: real edges + pointer edges
+            # (s -> label(s)). The single join then hands every node
+            # its neighbors' labels (via the real edges) and its
+            # label's label (via the pointer edge -- the jump). No
+            # explicit self branch is needed: the jump value
+            # label(label(s)) <= label(s) because labels only ever
+            # decrease, so the min stays monotone -- the property the
+            # sum-convergence test relies on.
+            g = edges.unionByName(
+                labels.select(
+                    F.col("node").alias("s"), F.col("label").alias("d")
+                )
             )
-        if rnd == max_rounds + 1:
-            break
-        prev_sum = new_sum
-        # propagation graph: real edges + pointer edges (s -> label(s)).
-        # The single join then hands every node its neighbors' labels
-        # (via the real edges) and its label's label (via the pointer
-        # edge -- the jump). No explicit self branch is needed: the
-        # jump value label(label(s)) <= label(s) because labels only
-        # ever decrease, so the min stays monotone -- the property the
-        # sum-convergence test relies on.
-        g = edges.unionByName(
-            labels.select(F.col("node").alias("s"), F.col("label").alias("d"))
+            labels = _stage(
+                g.join(labels.withColumnRenamed("node", "d"), "d")
+                .groupBy("s")
+                .agg(F.min("label").alias("label"))
+                .select(F.col("s").alias("node"), "label"),
+                rnd,
+            )
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            # this round is materialized: older persisted rounds are no
+            # longer needed for forward progress (recovery re-derives
+            # them from the last reliable checkpoint by lineage)
+            _drop_persists(keep_last=True)
+        _drop_persists(keep_last=False)
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_rounds} rounds -- "
+            "component diameter exceeds the cap (raise max_rounds, or "
+            "switch to large-star/small-star for adversarial graphs)"
         )
-        labels = _ckpt(
-            g.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy("s")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("s").alias("node"), "label"),
-            rnd,
-        )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-    raise RuntimeError(
-        f"neardup_clusters did not converge in {max_rounds} rounds -- "
-        "component diameter exceeds the cap (raise max_rounds, or switch "
-        "to large-star/small-star for adversarial graphs)"
-    )
+    finally:
+        if reliable and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
 
 
 def dedup_keep_representative(

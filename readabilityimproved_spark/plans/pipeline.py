@@ -443,7 +443,13 @@ def job_summary(
     Resuming a pre-round-4 output_dir appends new-schema files next to
     old ones, and a plain parquet read infers from ONE footer -- so the
     read merges schemas and old rows (no wave) land in wave -1 instead
-    of raising or lumping under null."""
+    of raising or lumping under null. Legacy rows still separate into
+    waves by their distinct per-wave ``wall_ms`` values (wall_ms is
+    constant within a wave, so grouping on it too is a no-op for
+    new-schema rows and keeps a multi-wave legacy attempt from
+    collapsing into one max() -- two legacy waves that measured the
+    exact same wall merge, slightly undercounting, which beats the
+    2-3x undercount of max-of-all-waves)."""
     lineage = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(output_dir, "lineage")
     )
@@ -453,7 +459,7 @@ def job_summary(
         lineage = lineage.withColumn(
             "wave", F.coalesce(F.col("wave"), F.lit(-1))
         )
-    per_wave = lineage.groupBy("attempt", "wave").agg(
+    per_wave = lineage.groupBy("attempt", "wave", "wall_ms").agg(
         F.countDistinct("part").alias("parts_done"),
         F.sum("doc_count").alias("docs"),
         F.sum("span_count").alias("spans"),

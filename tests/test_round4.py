@@ -584,16 +584,31 @@ def test_neardup_clusters_single_action_per_round(spark, monkeypatch):
     assert calls["collect"] <= 6, calls
 
 
-def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
-    """checkpoint_dir switches every k-th round to reliable
-    DataFrame.checkpoint: same labels, and checkpoint files actually
-    land in the directory (the durability story for executor loss)."""
+def test_neardup_clusters_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """checkpoint_dir = the durability mode: same labels, reliable
+    checkpoint files actually land in the directory, NO localCheckpoint
+    anywhere (a local checkpoint truncates lineage onto executor-local
+    blocks -- executor loss would then be fatal, the exact failure the
+    mode exists to survive), no cached residue afterwards, and the
+    session's prior checkpoint dir is restored."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from readabilityimproved_spark.operators.graph import neardup_clusters
 
+    local_calls = {"n": 0}
+    orig_local = DataFrame.localCheckpoint
+
+    def counting_local(self, eager=True):
+        local_calls["n"] += 1
+        return orig_local(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_local)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)] + [(100, 200)],
         "id_a long, id_b long",
     )
+    prior_dir = str(tmp_path / "prior")
+    spark.sparkContext.setCheckpointDir(prior_dir)
     ckdir = tmp_path / "ck"
     got = {
         tuple(r)
@@ -604,6 +619,12 @@ def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
     assert got == {(i, 1) for i in range(1, 10)} | {(100, 100), (200, 100)}
     written = [p for p in ckdir.rglob("*") if p.is_file()]
     assert written, "no reliable checkpoint files were written"
+    assert local_calls["n"] == 0, "reliable mode must not truncate lineage"
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "reliable mode leaked persisted rounds"
+    )
+    restored = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert restored.isDefined() and prior_dir in restored.get()
 
 
 def test_neardup_clusters_round_cap_raises(spark):
@@ -640,18 +661,17 @@ def test_contains_markup_guard_is_sound_on_random_docs():
     ACTUAL rewrite regexes (not a re-typed needle list): whenever
     contains_markup says False, applying REGEX_REPLACE_BRS and
     REGEX_REPLACE_FONTS to the serialized HTML must be the identity.
-    Random docs mix br/font elements, needles in comments / attr values
-    / attr KEYS (html.parser yields names like 'a<br'), a close-font
-    token with no open ('</font' — the round-5 soundness fix), and
-    '<br' in TEXT (escapes to &lt;br and must NOT force a serialize)."""
+    Random docs mix br/font elements, PREFIX tags the regexes also
+    match (<font-face>, <brand> — the second round-5 soundness fix:
+    exact tag-name membership missed them), needles in comments / attr
+    values / attr KEYS (html.parser yields names like 'a<br'), a
+    close-font token with no open ('</font'), and '<br' in TEXT
+    (escapes to &lt;br and must NOT force a serialize)."""
     import random
 
     from readabilityimproved_spark import patterns as P
     from readabilityimproved_spark.dom import parse
-    from readabilityimproved_spark.kernel.readability import (
-        _BRFONT_TAGS,
-        _PREP_NEEDLES,
-    )
+    from readabilityimproved_spark.kernel.readability import _PREP_NEEDLES
 
     rng = random.Random(77)
     pieces = [
@@ -659,6 +679,9 @@ def test_contains_markup_guard_is_sound_on_random_docs():
         "<p>a &lt;br&gt; as text</p>",
         "<p>literal <br> element</p>",
         "<font size=2>f</font>",
+        "<font-face>svg-style prefix tag</font-face>",
+        "<brand>prefix of br</brand>",
+        "<xfont>not a needle (no leading bracket match)</xfont>",
         "<!-- a <BR> inside a comment -->",
         "<!-- stray close </font inside a comment -->",
         '<div title="has <br> in attr">d</div>',
@@ -667,13 +690,13 @@ def test_contains_markup_guard_is_sound_on_random_docs():
         "<p>text with < stray bracket br</p>",
         "<div><p>nested</p><span>s</span></div>",
     ]
-    for _ in range(120):
+    for _ in range(150):
         html = "<body>" + "".join(
             rng.choice(pieces) for _ in range(rng.randint(1, 6))
         ) + "</body>"
         doc = parse(html)
         body = doc.body()
-        claims = body.contains_markup(_BRFONT_TAGS, _PREP_NEEDLES)
+        claims = body.contains_markup(_PREP_NEEDLES)
         serialized = body.html()
         rewritten = P.REGEX_REPLACE_FONTS.sub(
             r"<\1span>", P.REGEX_REPLACE_BRS.sub("</p><p>", serialized)

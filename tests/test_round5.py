@@ -137,6 +137,9 @@ def test_clusters_pre_contract_cuts_rounds_on_colocated_chains(spark, monkeypatc
     # diameter 600: raw needs ~log2(600) pointer-jump rounds; the
     # contracted star converges in ~2
     assert contracted <= 3 < raw
+
+
+def test_clusters_pre_contract_selfpair_and_id_typing(spark):
     """Degenerate self-pairs keep their node in the output (the star
     emits a (root, root) edge), and non-numeric ids fail FAST with
     hashing guidance -- the label-sum convergence invariant is only
@@ -165,8 +168,16 @@ def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     from readabilityimproved_spark.plans.pipeline import job_summary
 
     lineage = str(tmp_path / "run" / "lineage")
+    # legacy attempt with THREE waves (wall 800/900/700, repeated per
+    # part row of each wave): all land in wave -1, but wall_ms must
+    # still sum per wave, not max() across the attempt
     old = spark.createDataFrame(
-        [(0, 10, 50, 5, 0, "ok", 111, 800)],
+        [
+            (0, 10, 50, 5, 0, "ok", 111, 800),
+            (1, 4, 20, 2, 0, "ok", 111, 800),
+            (2, 6, 30, 3, 0, "ok", 111, 900),
+            (3, 8, 40, 4, 0, "ok", 111, 700),
+        ],
         "part int, doc_count bigint, span_count bigint, image_count bigint,"
         " error_count bigint, status string, attempt int, wall_ms int",
     )
@@ -181,8 +192,10 @@ def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     rows = {r["attempt"]: r for r in job_summary(
         spark, str(tmp_path / "run"), num_parts=4
     ).collect()}
-    assert rows[111]["docs"] == 10 and rows[222]["docs"] == 20
-    assert rows[111]["wall_ms_sum"] == 800
+    assert rows[111]["docs"] == 28 and rows[222]["docs"] == 20
+    # 800 + 900 + 700, NOT max(800, 900, 700)
+    assert rows[111]["wall_ms_sum"] == 2400
+    assert rows[111]["waves"] == 3
 
 
 def test_resolve_num_centroids_survives_internal_api_loss(spark):
