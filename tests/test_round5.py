@@ -139,6 +139,24 @@ def test_clusters_pre_contract_cuts_rounds_on_colocated_chains(spark, monkeypatc
     assert contracted <= 3 < raw
 
 
+def test_contract_local_plan_is_shuffle_free(spark):
+    """The star contraction must ride the pair generator's existing
+    partitioning: exactly one MapInPandas, zero exchanges."""
+    from readabilityimproved_spark.operators.graph import _contract_local
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    plan = (
+        _contract_local(pairs, "id_a", "id_b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+
+
 def test_clusters_pre_contract_selfpair_and_id_typing(spark):
     """Degenerate self-pairs keep their node in the output (the star
     emits a (root, root) edge), and non-numeric ids fail FAST with
