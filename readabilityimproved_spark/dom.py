@@ -39,6 +39,9 @@ def _resolve_url(base: str, val: str) -> str:
     resolved = urljoin(base, val) if base else val
     return resolved if urlparse(resolved).scheme else ""
 
+#: memo for contains_markup's per-tag needle verdict (bounded; see use)
+_TAG_NEEDLE_CACHE: dict = {}
+
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
@@ -252,23 +255,36 @@ class Element:
         PROVES the serialize->regex rewrites keyed on these needles are
         no-ops, letting the kernel skip whole-document serialization on
         the common (needle-free) path."""
+        cache = _TAG_NEEDLE_CACHE
         stack = [self]
         while stack:
             node = stack.pop()
             if node.__class__ is TextNode:
-                if node.is_comment:
+                # every needle starts with '<', so a '<'-free comment
+                # cannot match; the precheck skips the lower() pass
+                if node.is_comment and "<" in node.data:
                     d = node.data.lower()
                     if any(x in d for x in needles):
                         return True
                 continue
-            toks = "<" + node.tag + "\x00</" + node.tag
-            if any(x in toks for x in needles):
+            key = (node.tag, needles)
+            hit = cache.get(key)
+            if hit is None:
+                toks = "<" + node.tag + "\x00</" + node.tag
+                hit = any(x in toks for x in needles)
+                if len(cache) > 4096:  # wild docs: unbounded tag vocab
+                    cache.clear()
+                cache[key] = hit
+            if hit:
                 return True
             if node.attrs:
                 for k, v in node.attrs.items():
-                    kv = (k + "\x00" + v).lower()
-                    if any(x in kv for x in needles):
-                        return True
+                    # same '<' precheck: case-insensitive needles still
+                    # need a literal '<', which lower() never creates
+                    if "<" in k or "<" in v:
+                        kv = (k + "\x00" + v).lower()
+                        if any(x in kv for x in needles):
+                            return True
             if node.children:
                 stack.extend(node.children)
         return False
