@@ -137,9 +137,20 @@ def neardup_clusters(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     pre_contract: bool = True,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every document appearing in ``pairs``;
     ``cluster_id`` is the minimum doc id of the connected component.
+
+    ``state_dir``: optional DRIVER-loss recovery (orthogonal to
+    ``checkpoint_dir``, which survives executor loss within a live
+    job): every ``checkpoint_interval``-th round the label table is
+    snapshotted as parquet (``labels_r{N}``) with an appended marker
+    row, one extra write action per snapshot. A rerun with the same
+    ``state_dir`` and the SAME pairs input resumes from the newest
+    snapshot instead of round 1 -- including after a round-cap
+    RuntimeError, whose completed snapshots remain valid. The caller
+    owns the directory (snapshots are kept, not pruned).
 
     ``checkpoint_dir``: optional reliable-checkpoint location. In this
     mode NOTHING is localCheckpoint-ed (local checkpoints truncate
@@ -166,10 +177,13 @@ def neardup_clusters(
     to iterate the raw pairs, e.g. when partitions are so large the
     per-partition node dict would not fit the Python worker.
 
-    Ids must be NUMERIC: the label-sum convergence invariant is exact
-    only because labels are numbers that strictly decrease on change
-    (hash a string id to xxhash64 first -- collisions aside, the usual
-    doc-id space here is already long).
+    Ids must be NUMERIC (integral): the label-sum convergence invariant
+    is exact only because labels are numbers that strictly decrease on
+    change (hash a string id to xxhash64 first -- collisions aside, the
+    usual doc-id space here is already long). The sums aggregate in
+    decimal(38,0): a bigint sum of 10^12 64-bit ids overflows -- under
+    ANSI mode that kills the job on the very aggregate that was meant
+    to be the cheap convergence probe.
 
     Raises if ``max_rounds`` is hit before convergence (a silent
     partial closure would merge fewer duplicates than claimed)."""
@@ -230,6 +244,34 @@ def neardup_clusters(
             _drop_persists(keep_last=False)
         return out
 
+    spark = pairs.sparkSession
+
+    def _dsum(col: str):
+        # decimal(38,0): exact, and immune to the bigint overflow a
+        # 10^12-row id sum hits (ANSI mode would raise mid-job)
+        return F.sum(F.col(col).cast("decimal(38,0)"))
+
+    def _snapshot(labels_df: DataFrame, rnd: int, label_sum) -> None:
+        labels_df.write.mode("overwrite").parquet(
+            f"{state_dir}/labels_r{rnd}"
+        )
+        spark.createDataFrame(
+            [(rnd, str(label_sum))], "round int, label_sum string"
+        ).write.mode("append").parquet(f"{state_dir}/state")
+
+    def _resume_state():
+        if state_dir is None:
+            return None
+        try:
+            markers = spark.read.parquet(f"{state_dir}/state")
+            rows = markers.orderBy(F.col("round").desc()).limit(1).collect()
+            if not rows:
+                return None
+            rnd = int(rows[0]["round"])
+            return rnd, spark.read.parquet(f"{state_dir}/labels_r{rnd}")
+        except Exception:
+            return None  # no/partial state: start fresh
+
     try:
         fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         edges = fwd.unionByName(
@@ -240,27 +282,37 @@ def neardup_clusters(
             if reliable
             else edges.localCheckpoint(eager=False)
         )
-        # fused round 1: label = min(self, neighbors). The symmetrized
-        # edge list contains every node as `s`, so one groupBy covers
-        # the whole node set -- no join, and it doubles as label
-        # initialization.
-        labels = _stage(
-            edges.groupBy("s").agg(F.min("d").alias("m")).select(
-                F.col("s").alias("node"),
-                F.least(F.col("s"), F.col("m")).alias("label"),
-            ),
-            1,
-        )
-        # convergence via the label-sum invariant: labels only ever
-        # DECREASE (min of self and neighbors), so sum(label) is
-        # unchanged iff no label changed. One narrow aggregate per
-        # round, and because the stage above is lazy, this SAME action
-        # materializes it.
-        first = labels.agg(
-            F.sum("label").alias("new"), F.sum("node").alias("prev")
-        ).collect()[0]
-        prev_sum, new_sum = first["prev"], first["new"]
-        for rnd in range(2, max_rounds + 2):
+        resumed = _resume_state()
+        if resumed is not None:
+            start_rnd, labels = resumed
+            # prev unknown across the restart: worth at most one extra
+            # (no-op) round before convergence is re-detected
+            prev_sum = None
+            new_sum = labels.agg(_dsum("label")).collect()[0][0]
+            start = start_rnd + 1
+        else:
+            # fused round 1: label = min(self, neighbors). The
+            # symmetrized edge list contains every node as `s`, so one
+            # groupBy covers the whole node set -- no join, and it
+            # doubles as label initialization.
+            labels = _stage(
+                edges.groupBy("s").agg(F.min("d").alias("m")).select(
+                    F.col("s").alias("node"),
+                    F.least(F.col("s"), F.col("m")).alias("label"),
+                ),
+                1,
+            )
+            # convergence via the label-sum invariant: labels only ever
+            # DECREASE (min of self and neighbors), so sum(label) is
+            # unchanged iff no label changed. One narrow aggregate per
+            # round, and because the stage above is lazy, this SAME
+            # action materializes it.
+            first = labels.agg(
+                _dsum("label").alias("new"), _dsum("node").alias("prev")
+            ).collect()[0]
+            prev_sum, new_sum = first["prev"], first["new"]
+            start = 2
+        for rnd in range(start, max_rounds + 2):
             if new_sum == prev_sum:
                 return _finish(labels)
             if rnd == max_rounds + 1:
@@ -286,7 +338,9 @@ def neardup_clusters(
                 .select(F.col("s").alias("node"), "label"),
                 rnd,
             )
-            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            new_sum = labels.agg(_dsum("label")).collect()[0][0]
+            if state_dir is not None and rnd % checkpoint_interval == 0:
+                _snapshot(labels, rnd, new_sum)
             # this round is materialized: older persisted rounds are no
             # longer needed for forward progress (recovery re-derives
             # them from the last reliable checkpoint by lineage)

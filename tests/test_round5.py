@@ -177,6 +177,53 @@ def test_clusters_pre_contract_selfpair_and_id_typing(spark):
         neardup_clusters(strings)
 
 
+def test_clusters_state_dir_resumes_after_driver_loss(spark, tmp_path, monkeypatch):
+    """state_dir = driver-loss recovery: a run killed by the round cap
+    leaves parquet snapshots; a rerun with the same state_dir resumes
+    from the newest snapshot (strictly fewer propagation rounds than a
+    fresh run) and converges to identical labels."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    # long chain, pre-contraction disabled and spread out, so the run
+    # genuinely needs many rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    ).repartition(8)
+    state = str(tmp_path / "state")
+
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(
+            chain, max_rounds=6, pre_contract=False,
+            checkpoint_interval=2, state_dir=state,
+        )
+
+    def collects(**kw):
+        calls = {"n": 0}
+        orig = DataFrame.collect
+
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "collect", counting)
+        try:
+            res = neardup_clusters(chain, pre_contract=False, **kw)
+            labels = {tuple(r) for r in orig(res)}
+        finally:
+            monkeypatch.setattr(DataFrame, "collect", orig)
+        return labels, calls["n"]
+
+    resumed_labels, resumed_actions = collects(
+        checkpoint_interval=2, state_dir=state
+    )
+    fresh_labels, fresh_actions = collects()
+    want = {(i, 0) for i in range(401)}
+    assert resumed_labels == want and fresh_labels == want
+    assert resumed_actions < fresh_actions, (resumed_actions, fresh_actions)
+
+
 def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     """A pre-round-4 lineage (no wave column) mixed with new-schema
     rows must not break job_summary: schemas merge and old rows land
