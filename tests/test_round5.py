@@ -177,6 +177,26 @@ def test_clusters_pre_contract_selfpair_and_id_typing(spark):
         neardup_clusters(strings)
 
 
+def test_clusters_survive_hashed_near_max_ids(spark):
+    """The numeric-id guidance says 'xxhash64 your string ids' -- such
+    ids sit near +/-2^63, and a bigint convergence sum overflows after
+    a handful of rows (ANSI mode, on by default, turns that into a
+    mid-job error). The decimal(38,0) sums must keep hashed id spaces
+    working."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    big = 2 ** 62
+    pairs = spark.createDataFrame(
+        [(big + 1, big + 2), (big + 2, big + 3), (-big - 5, -big - 4)],
+        "id_a long, id_b long",
+    )
+    got = {tuple(r) for r in neardup_clusters(pairs).collect()}
+    assert got == {
+        (big + 1, big + 1), (big + 2, big + 1), (big + 3, big + 1),
+        (-big - 5, -big - 5), (-big - 4, -big - 5),
+    }
+
+
 def test_clusters_state_dir_resumes_after_driver_loss(spark, tmp_path, monkeypatch):
     """state_dir = driver-loss recovery: a run killed by the round cap
     leaves parquet snapshots; a rerun with the same state_dir resumes
