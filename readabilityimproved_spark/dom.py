@@ -255,14 +255,18 @@ class Element:
         PROVES the serialize->regex rewrites keyed on these needles are
         no-ops, letting the kernel skip whole-document serialization on
         the common (needle-free) path."""
+        # the attr precheck below assumes every needle carries a literal
+        # '<' (lower() never creates one); fail fast if a future needle
+        # breaks that, instead of silently skipping rewrites
+        assert all("<" in x for x in needles), needles
         cache = _TAG_NEEDLE_CACHE
         stack = [self]
         while stack:
             node = stack.pop()
             if node.__class__ is TextNode:
-                # every needle starts with '<', so a '<'-free comment
-                # cannot match; the precheck skips the lower() pass
-                if node.is_comment and "<" in node.data:
+                # comment data includes the '<!--' wrapper and is
+                # serialized verbatim, so scan it whole
+                if node.is_comment:
                     d = node.data.lower()
                     if any(x in d for x in needles):
                         return True

@@ -177,24 +177,30 @@ def neardup_clusters(
     to iterate the raw pairs, e.g. when partitions are so large the
     per-partition node dict would not fit the Python worker.
 
-    Ids must be NUMERIC (integral): the label-sum convergence invariant
-    is exact only because labels are numbers that strictly decrease on
-    change (hash a string id to xxhash64 first -- collisions aside, the
-    usual doc-id space here is already long). The sums aggregate in
+    Ids must be INTEGRAL: the label-sum convergence invariant is exact
+    only because labels are numbers that strictly decrease on change
+    (hash a string id to xxhash64 first -- collisions aside, the usual
+    doc-id space here is already long). The sums aggregate in
     decimal(38,0): a bigint sum of 10^12 64-bit ids overflows -- under
     ANSI mode that kills the job on the very aggregate that was meant
-    to be the cheap convergence probe.
+    to be the cheap convergence probe. Fractional id types are
+    rejected, not just discouraged: the decimal cast rounds them, so
+    two different fractional label sets could compare equal and return
+    a silently wrong closure.
 
     Raises if ``max_rounds`` is hit before convergence (a silent
-    partial closure would merge fewer duplicates than claimed)."""
-    from pyspark.sql.types import NumericType
+    partial closure would merge fewer duplicates than claimed); with
+    ``state_dir``, ``max_rounds`` bounds the rounds executed in THIS
+    run, so a rerun after the raise continues making progress."""
+    from pyspark.sql.types import IntegralType
 
     for col in (id_a, id_b):
-        if not isinstance(pairs.schema[col].dataType, NumericType):
+        if not isinstance(pairs.schema[col].dataType, IntegralType):
             raise TypeError(
-                f"neardup_clusters needs numeric ids; {col} is "
-                f"{pairs.schema[col].dataType.simpleString()} -- hash it "
-                "(e.g. xxhash64) before clustering"
+                f"neardup_clusters needs integral ids; {col} is "
+                f"{pairs.schema[col].dataType.simpleString()} -- hash "
+                "string ids (e.g. xxhash64) and round or scale "
+                "fractional ones before clustering"
             )
     # a NULL id carries no identity: drop the row up front. (Besides
     # being meaningless, a null long reaches the Arrow contraction pass
@@ -262,15 +268,32 @@ def neardup_clusters(
     def _resume_state():
         if state_dir is None:
             return None
+        from pyspark.errors import AnalysisException
+
         try:
             markers = spark.read.parquet(f"{state_dir}/state")
+        except AnalysisException:
+            return None  # no state yet: the expected first-run case
+        try:
             rows = markers.orderBy(F.col("round").desc()).limit(1).collect()
             if not rows:
                 return None
             rnd = int(rows[0]["round"])
-            return rnd, spark.read.parquet(f"{state_dir}/labels_r{rnd}")
-        except Exception:
-            return None  # no/partial state: start fresh
+            from decimal import Decimal
+
+            return (
+                rnd,
+                spark.read.parquet(f"{state_dir}/labels_r{rnd}"),
+                Decimal(rows[0]["label_sum"]),
+            )
+        except Exception as exc:
+            # corrupt/unreadable state must not silently disable the
+            # durability the caller is paying snapshot writes for
+            print(
+                f"[neardup_clusters] state resume from {state_dir} "
+                f"failed ({type(exc).__name__}: {exc}); starting fresh"
+            )
+            return None
 
     try:
         fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
@@ -284,11 +307,12 @@ def neardup_clusters(
         )
         resumed = _resume_state()
         if resumed is not None:
-            start_rnd, labels = resumed
-            # prev unknown across the restart: worth at most one extra
-            # (no-op) round before convergence is re-detected
+            # the marker stored the snapshot's exact decimal sum -- no
+            # re-aggregation pass over the snapshot. prev is unknown
+            # across the restart: worth at most one extra (no-op) round
+            # before convergence is re-detected.
+            start_rnd, labels, new_sum = resumed
             prev_sum = None
-            new_sum = labels.agg(_dsum("label")).collect()[0][0]
             start = start_rnd + 1
         else:
             # fused round 1: label = min(self, neighbors). The
@@ -312,10 +336,15 @@ def neardup_clusters(
             ).collect()[0]
             prev_sum, new_sum = first["prev"], first["new"]
             start = 2
-        for rnd in range(start, max_rounds + 2):
+        # the cap bounds rounds executed in THIS run: on a fresh run the
+        # fused round 1 already consumed one, and on resume the snapshot
+        # rounds were a previous run's budget -- a rerun after a cap
+        # raise must make progress, not instantly re-raise
+        last = max_rounds if start == 2 else start + max_rounds - 1
+        for rnd in range(start, last + 2):
             if new_sum == prev_sum:
                 return _finish(labels)
-            if rnd == max_rounds + 1:
+            if rnd == last + 1:
                 break
             prev_sum = new_sum
             # propagation graph: real edges + pointer edges
@@ -363,15 +392,18 @@ def dedup_keep_representative(
     id_a: str = "id_a",
     id_b: str = "id_b",
     checkpoint_dir: str | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """The cluster-level dedup a pipeline actually applies: drop every
     clustered document EXCEPT its component's representative (minimum
     id). Documents in no pair survive untouched; the anti join keys on
     the (small) loser list, which Catalyst/AQE broadcasts.
-    ``checkpoint_dir`` passes through to neardup_clusters for reliable
-    checkpoints on long cluster runs."""
+    ``checkpoint_dir`` (executor-loss durability) and ``state_dir``
+    (driver-loss resume) pass through to neardup_clusters for long
+    cluster runs."""
     clusters = neardup_clusters(
-        pairs, id_a=id_a, id_b=id_b, checkpoint_dir=checkpoint_dir
+        pairs, id_a=id_a, id_b=id_b,
+        checkpoint_dir=checkpoint_dir, state_dir=state_dir,
     )
     losers = clusters.filter(
         F.col("cluster_id") != F.col("doc_id")

@@ -176,6 +176,15 @@ def test_clusters_pre_contract_selfpair_and_id_typing(spark):
     with pytest.raises(TypeError, match="xxhash64"):
         neardup_clusters(strings)
 
+    # fractional ids are rejected too: the decimal(38,0) convergence
+    # sums would ROUND them, letting distinct label sets compare equal
+    # and return a silently wrong closure
+    doubles = spark.createDataFrame(
+        [(1.45, 1.4), (1.4, 0.6)], "id_a double, id_b double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        neardup_clusters(doubles)
+
 
 def test_clusters_survive_hashed_near_max_ids(spark):
     """The numeric-id guidance says 'xxhash64 your string ids' -- such
@@ -242,6 +251,30 @@ def test_clusters_state_dir_resumes_after_driver_loss(spark, tmp_path, monkeypat
     want = {(i, 0) for i in range(401)}
     assert resumed_labels == want and fresh_labels == want
     assert resumed_actions < fresh_actions, (resumed_actions, fresh_actions)
+
+
+def test_clusters_state_dir_rerun_same_cap_progresses(spark, tmp_path):
+    """max_rounds bounds the rounds of THIS run: rerunning with the
+    SAME arguments after a cap raise continues from the snapshot and
+    eventually converges, instead of re-raising forever."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    ).repartition(8)
+    state = str(tmp_path / "state")
+    kw = dict(
+        max_rounds=4, pre_contract=False,
+        checkpoint_interval=2, state_dir=state,
+    )
+    labels = None
+    for _ in range(6):  # each rerun advances >= 2 snapshot rounds
+        try:
+            labels = {tuple(r) for r in neardup_clusters(chain, **kw).collect()}
+            break
+        except RuntimeError:
+            continue
+    assert labels == {(i, 0) for i in range(401)}
 
 
 def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
