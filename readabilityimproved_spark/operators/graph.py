@@ -194,6 +194,12 @@ def neardup_clusters(
     run, so a rerun after the raise continues making progress."""
     from pyspark.sql.types import IntegralType
 
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval} "
+            "(0 would divide by zero mid-job; negative silently disables "
+            "the reliable checkpoints the caller asked for)"
+        )
     for col in (id_a, id_b):
         if not isinstance(pairs.schema[col].dataType, IntegralType):
             raise TypeError(
@@ -381,8 +387,18 @@ def neardup_clusters(
             "switch to large-star/small-star for adversarial graphs)"
         )
     finally:
-        if reliable and prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        if reliable:
+            if prev_ckpt_dir is not None:
+                sc.setCheckpointDir(prev_ckpt_dir)
+            else:
+                try:
+                    # Scala setCheckpointDir(null) clears the Option --
+                    # otherwise the session keeps pointing at the
+                    # caller-owned dir long after this call (and after
+                    # the caller may have deleted it)
+                    sc._jsc.sc().setCheckpointDir(None)
+                except Exception:
+                    pass
 
 
 def dedup_keep_representative(

@@ -139,15 +139,22 @@ def _fs_list_part_dirs(spark: SparkSession, path: str) -> set[str]:
     }
 
 
-def _fs_part_sizes(spark: SparkSession, path: str) -> dict[int, int]:
-    """Bytes per ``part=N`` directory under ``path`` from ONE recursive
-    ``listFiles`` stream (the same single-listing discipline as
-    _fs_list_part_dirs -- never one RPC per partition). Empty when the
-    input is not part-partitioned."""
+def _fs_part_sizes(
+    spark: SparkSession, path: str
+) -> tuple[dict[int, int], set[str]]:
+    """(bytes per ``part=N`` directory, set of ``part=`` directory
+    names whose value does NOT parse as an int) under ``path`` from ONE
+    recursive ``listFiles`` stream (the same single-listing discipline
+    as _fs_list_part_dirs -- never one RPC per partition). Both empty
+    when the input is not part-partitioned. The unparsed set exists so
+    callers cannot mistake a partial inventory for a complete one:
+    ``part=__HIVE_DEFAULT_PARTITION__`` (null-part rows) must not be
+    silently skipped."""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
-        return {}
+        return {}, set()
     sizes: dict[int, int] = {}
+    unparsed: set[str] = set()
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
@@ -156,9 +163,10 @@ def _fs_part_sizes(spark: SparkSession, path: str) -> dict[int, int]:
             try:
                 part = int(parent[5:])
             except ValueError:
+                unparsed.add(parent)
                 continue
             sizes[part] = sizes.get(part, 0) + int(st.getLen())
-    return sizes
+    return sizes, unparsed
 
 
 def plan_waves(
@@ -247,19 +255,33 @@ def run_extraction(
     # every part >= num_parts -- a partial run reporting success.
     # Resolution order, cheapest first:
     #  * part=N layout on disk: the single recursive listing already
-    #    fetched for wave sizing IS the part inventory -- no Spark job;
+    #    fetched for wave sizing IS the part inventory -- no Spark job.
+    #    Guard: a part= directory whose value does not parse as an int
+    #    (e.g. part=__HIVE_DEFAULT_PARTITION__ from null-part rows)
+    #    would be silently absent from the listing-derived inventory --
+    #    those docs would land in no wave while the run reports
+    #    success. Fall back to the distinct discovery, which surfaces
+    #    the null loudly (sorted() over None raises);
     #  * stored `part` column, unpartitioned layout: one bounded
     #    distinct job (column-pruned scan of `part` only);
     #  * derived part (with_part xxhash64): pmod's range IS
     #    0..num_parts-1, so range() is exact -- a distinct here would
     #    be a full corpus scan just to rediscover it.
-    part_sizes = _fs_part_sizes(spark, input_path)
-    if part_sizes:
+    part_sizes, unparsed_part_dirs = _fs_part_sizes(spark, input_path)
+    if part_sizes and not unparsed_part_dirs:
         actual_parts = sorted(part_sizes)
     elif has_stored_part:
-        actual_parts = sorted(
+        vals = [
             r["part"] for r in docs.select("part").distinct().collect()
-        )
+        ]
+        if any(v is None for v in vals):
+            raise ValueError(
+                "corpus has rows with a NULL part value (on disk: "
+                "part=__HIVE_DEFAULT_PARTITION__); they would belong to "
+                "no wave. Repair the part column (e.g. coalesce to a "
+                "hash) before running extraction"
+            )
+        actual_parts = sorted(vals)
     else:
         actual_parts = list(range(num_parts))
     done = completed_parts(spark, lineage_path) if resume else set()
@@ -406,19 +428,30 @@ def run_extraction(
         else:
             spark.conf.set(overwrite_key, prev_mode)
 
-    # metrics rollup (declarative; AQE coalesces)
+    # metrics rollup (declarative; AQE coalesces). wall_ms is stored
+    # per WAVE repeated on every part row, so it must be counted once
+    # per (attempt, wave) -- summing it per row would inflate
+    # wall_ms_sum by the parts-per-wave factor (the same discipline
+    # job_summary applies)
     try:
-        metrics = (
+        per_wave = (
             spark.read.parquet(lineage_path)
-            .groupBy("attempt")
+            .groupBy("attempt", "wave", "wall_ms")
             .agg(
                 F.sum("doc_count").alias("docs"),
                 F.sum("span_count").alias("spans"),
                 F.sum("image_count").alias("images"),
                 F.sum("error_count").alias("errors"),
-                F.sum("wall_ms").alias("wall_ms_sum"),
                 F.countDistinct("part").alias("parts"),
             )
+        )
+        metrics = per_wave.groupBy("attempt").agg(
+            F.sum("docs").alias("docs"),
+            F.sum("spans").alias("spans"),
+            F.sum("images").alias("images"),
+            F.sum("errors").alias("errors"),
+            F.sum("wall_ms").alias("wall_ms_sum"),
+            F.sum("parts").alias("parts"),
         )
         metrics.write.mode("overwrite").parquet(metrics_path)
     except Exception:

@@ -277,6 +277,89 @@ def test_clusters_state_dir_rerun_same_cap_progresses(spark, tmp_path):
     assert labels == {(i, 0) for i in range(401)}
 
 
+def test_run_extraction_rejects_null_parts_loudly(spark, tmp_path):
+    """Null-part rows land on disk under part=__HIVE_DEFAULT_PARTITION__,
+    which the listing-derived inventory cannot represent -- the run
+    must refuse with a clear error instead of silently extracting
+    nothing for those documents while reporting success."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    write_synth_corpus(spark, 30, src, partition_by_part=False)
+    broken = str(tmp_path / "broken")
+    (
+        spark.read.parquet(src)
+        .withColumn(
+            "part",
+            F.when(F.xxhash64("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.col("part")
+            ),
+        )
+        .write.partitionBy("part")
+        .parquet(broken)
+    )
+    with pytest.raises(ValueError, match="NULL part"):
+        P.run_extraction(
+            spark, broken, str(tmp_path / "out"), num_parts=8, waves=2,
+            resume=False,
+        )
+
+
+def test_metrics_rollup_counts_wave_wall_once(spark, tmp_path):
+    """The persisted metrics table must apply the same once-per-wave
+    wall_ms discipline as job_summary -- summing the per-part repeated
+    value would inflate wall_ms_sum by the parts-per-wave factor."""
+    import os
+
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(spark, 60, corpus)
+    out = str(tmp_path / "out")
+    P.run_extraction(spark, corpus, out, num_parts=16, waves=2, resume=False)
+    metrics = {
+        r["attempt"]: r
+        for r in spark.read.parquet(os.path.join(out, "metrics")).collect()
+    }
+    summary = {
+        r["attempt"]: r for r in P.job_summary(spark, out).collect()
+    }
+    assert metrics.keys() == summary.keys()
+    for attempt, mrow in metrics.items():
+        assert mrow["wall_ms_sum"] == summary[attempt]["wall_ms_sum"]
+        assert mrow["docs"] == summary[attempt]["docs"]
+
+
+def test_clusters_checkpoint_interval_validated_and_dir_cleared(
+    spark, tmp_path
+):
+    """checkpoint_interval < 1 fails fast, and when no checkpoint dir
+    was set before the call, the session is left with none afterwards
+    (not permanently pointed at the caller-owned directory)."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        neardup_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "ck"), checkpoint_interval=0
+        )
+
+    spark.sparkContext._jsc.sc().setCheckpointDir(None)
+    got = {
+        tuple(r)
+        for r in neardup_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "ck2"), checkpoint_interval=2
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+
 def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     """A pre-round-4 lineage (no wave column) mixed with new-schema
     rows must not break job_summary: schemas merge and old rows land
