@@ -425,3 +425,33 @@ def dedup_keep_representative(
         F.col("cluster_id") != F.col("doc_id")
     ).select(F.col("doc_id").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def neardup_clusters_incremental(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Fold a NEW batch of near-dup pairs into an existing clustering
+    (the cross-crawl case: yesterday's corpus is already clustered,
+    today's crawl adds pairs) without re-deriving the old structure
+    from the original pair set.
+
+    ``prev_labels`` is a previous ``neardup_clusters`` result
+    ``(doc_id, cluster_id)``. Each such row IS an edge that wires a
+    node to its old component representative, so the union of those
+    label edges with the new pairs has exactly the merged components
+    -- a previous component's internal pairs (possibly billions) are
+    replaced by its |V| label edges, and the iteration re-converges in
+    rounds bounded by how much the NEW pairs chain components
+    together, not by the old corpus's diameter.
+
+    Returns the full updated labeling (old nodes + new nodes). Accepts
+    the same durability/tuning kwargs as ``neardup_clusters``."""
+    label_edges = prev_labels.select(
+        F.col("doc_id").alias(id_a), F.col("cluster_id").alias(id_b)
+    )
+    merged = new_pairs.select(id_a, id_b).unionByName(label_edges)
+    return neardup_clusters(merged, id_a=id_a, id_b=id_b, **cluster_kwargs)

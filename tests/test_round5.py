@@ -360,6 +360,35 @@ def test_clusters_checkpoint_interval_validated_and_dir_cleared(
     assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
 
 
+def test_clusters_incremental_matches_full_recompute(spark):
+    """Folding new pairs into an existing clustering via the label
+    edges must equal re-clustering old + new pairs from scratch --
+    including a new pair that BRIDGES two old components."""
+    from readabilityimproved_spark.operators.graph import (
+        neardup_clusters,
+        neardup_clusters_incremental,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    prev = neardup_clusters(old_pairs)
+    # new crawl: extends a component, bridges 3~10, adds a fresh one
+    new_pairs = spark.createDataFrame(
+        [(3, 4), (3, 10), (30, 31)], "id_a long, id_b long"
+    )
+    inc = {
+        tuple(r)
+        for r in neardup_clusters_incremental(prev, new_pairs).collect()
+    }
+    full = {
+        tuple(r)
+        for r in neardup_clusters(old_pairs.unionByName(new_pairs)).collect()
+    }
+    assert inc == full
+    assert (10, 1) in inc and (11, 1) in inc  # bridge merged components
+
+
 def test_job_summary_tolerates_pre_wave_lineage(spark, tmp_path):
     """A pre-round-4 lineage (no wave column) mixed with new-schema
     rows must not break job_summary: schemas merge and old rows land
