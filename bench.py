@@ -35,6 +35,18 @@ CORPUS = os.environ.get(
 SCALE_SMALL, SCALE_LARGE = 2, 8
 _BENCH_FILES = 64  # round-robin files: giants spread evenly across splits
 
+
+def _load1() -> float:
+    """1-minute loadavg -- the bench's contamination telltale. BENCH_r05
+    read 1.4-4.7x slower than r04 on code-untouched pure-SQL queries
+    (external host load during the driver's run); recording load per
+    phase makes such a run SELF-LABELING instead of masquerading as a
+    regression."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # non-POSIX fallback: report "unknown", never crash
+        return -1.0
+
 _EXTRACT_CONF = {
     # byte-based file splits ARE the skew handling for the shuffle-free
     # scan->map plan: extraction cost ~ bytes, so small splits spread
@@ -110,10 +122,16 @@ def timed_pipeline(spark) -> tuple[float, int]:
 
 
 def scale_phase(cores: int) -> None:
+    # loadavg sampled at subprocess start: the main JVM is stopped
+    # during the scaling phase, so this is the cleanest per-rep
+    # external-load signal available
+    load = _load1()
     spark = build(cores)
     ensure_corpus(spark)
     times, n = timed_extraction(spark, runs=3)
-    print(json.dumps({"cores": cores, "sec": min(times), "docs": n}))
+    print(json.dumps(
+        {"cores": cores, "sec": min(times), "docs": n, "load": load}
+    ))
     spark.stop()
 
 
@@ -136,12 +154,17 @@ def main() -> None:
     import importlib.util
 
     timings: dict[str, float] = {}
+    # sampled BEFORE any JVM exists: at this instant the 1-min loadavg
+    # is almost purely EXTERNAL work, the one clean contamination signal
+    load_start = _load1()
+    query_loads: dict[str, float] = {}
 
     # --- headline: full-width extraction + operator queries ---------------
     # every timing in `queries` is a COLD single run (what the driver's
     # own per-round measurement sees); warm best-of-3 goes in `warm`
     spark = build(CPUS)
     ensure_corpus(spark)
+    query_loads["q_extract_kernel"] = _load1()
     kernel_runs, n_full = timed_extraction(spark)
     sec_cold, sec_full = kernel_runs[0], min(kernel_runs)
     timings["q_extract_kernel"] = round(sec_cold, 3)
@@ -165,6 +188,7 @@ def main() -> None:
         "layout_spans",
         "neardup_clusters",
     ):
+        query_loads[f"q_{name}"] = _load1()
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
         timings[f"q_{name}"] = round(time.time() - t0, 3)
@@ -177,10 +201,11 @@ def main() -> None:
     # measured this leg 28% below r2 while the in-round run was faster --
     # a single-shot number can't separate host jitter from regression.
     pipe_reps = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_REPS", "3")))
-    pipe_runs = []
+    pipe_runs, pipe_loads = [], []
     for i in range(pipe_reps):
         if i:
             time.sleep(2)
+        pipe_loads.append(_load1())
         sec_i, pipe_docs = timed_pipeline(spark)
         pipe_runs.append(round(sec_i, 3))
     import statistics as _st
@@ -200,17 +225,47 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5")))
     eff_runs, thr_small, thr_large = [], 0.0, 0.0
+    scale_loads = []
     for i in range(reps):
         if i:
             time.sleep(3)  # let the OS reclaim the previous JVM's pages
         small = run_pinned(SCALE_SMALL)
         large = run_pinned(SCALE_LARGE)
+        scale_loads.append(
+            {"small": small.get("load", -1.0), "large": large.get("load", -1.0)}
+        )
         ts = small["docs"] / small["sec"]
         tl = large["docs"] / large["sec"]
         thr_small, thr_large = max(thr_small, ts), max(thr_large, tl)
         eff_runs.append(round((tl / ts) / (SCALE_LARGE / SCALE_SMALL), 3))
     eff_sorted = sorted(eff_runs)
     efficiency = round(statistics.median(eff_runs), 3)
+
+    # --- load self-labeling (round-6 verdict item 1) -----------------------
+    # thresholds: `start` is sampled before any JVM, so >0.3*cpus there is
+    # unambiguous external work. Mid-bench samples include our OWN decaying
+    # 1-min load, so their bars sit above what the bench itself can
+    # generate: full-width phases can legitimately read ~cpus, the pinned
+    # scaling pairs at most SCALE_LARGE (+ decay), hence +0.3*cpus headroom.
+    flagged: list[str] = []
+    if load_start / CPUS > 0.3:
+        flagged.append(f"start loadavg {load_start} > 0.3x{CPUS} cores")
+    for i, ld in enumerate(pipe_loads):
+        if ld > CPUS * 1.25:
+            flagged.append(f"pipeline rep {i} loadavg {ld} > 1.25x{CPUS}")
+    for i, pair in enumerate(scale_loads):
+        worst = max(pair["small"], pair["large"])
+        if worst > SCALE_LARGE + 0.3 * CPUS:
+            flagged.append(
+                f"scaling rep {i} loadavg {worst} > "
+                f"{SCALE_LARGE} + 0.3x{CPUS}"
+            )
+    if flagged:
+        print(
+            "[bench] WARNING: host load detected during this run -- "
+            "timings are suspect: " + "; ".join(flagged),
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "extraction_bench_wall",
@@ -245,6 +300,17 @@ def main() -> None:
             "efficiency_max": eff_sorted[-1],
             "full_width_cores": CPUS,
             "docs_per_sec_full_width": round(n_full / sec_full, 1),
+        },
+        "load": {
+            "cpus": CPUS,
+            "start": load_start,  # pre-JVM: purely external work
+            "start_frac": round(load_start / CPUS, 3),
+            "end": _load1(),
+            "queries": query_loads,  # 1-min loadavg before each cold run
+            "pipeline_reps": pipe_loads,
+            "scaling_reps": scale_loads,  # sampled at subprocess start
+            "flags": flagged,
+            "contaminated": bool(flagged),
         },
     }
     print(json.dumps(result))
@@ -301,6 +367,18 @@ pure-Python multiprocessing ceiling here is itself ~0.80.)
 | N = {sc['cores_small']} pinned cores (best of {len(sc['efficiency_runs'])} reps) | {sc['docs_per_sec_small']:,} |
 | 4N = {sc['cores_large']} pinned cores (best of {len(sc['efficiency_runs'])} reps) | {sc['docs_per_sec_large']:,} |
 | **efficiency (median of {len(sc['efficiency_runs'])} reps)** | **{sc['efficiency']}** (target >= 0.8; per-rep: {sc['efficiency_runs']}, min {sc['efficiency_min']}, max {sc['efficiency_max']}) |
+
+## Host-load self-labeling
+
+Every phase records the 1-min loadavg (`load` in the JSON; `start` is
+sampled before any JVM exists, so it is purely external work). This run:
+start {result['load']['start']} / {result['load']['cpus']} cores
+({result['load']['start_frac']}), end {result['load']['end']},
+contaminated = **{result['load']['contaminated']}**{
+    (' -- ' + '; '.join(result['load']['flags']))
+    if result['load']['flags'] else ''
+}. A contaminated run's timings are suspect and should be re-measured on
+a quiet host rather than read as a regression (BENCH_r05 lesson).
 
 ## Plan-quality checks (`.explain("formatted")`, enforced by tests/test_plan_quality.py)
 

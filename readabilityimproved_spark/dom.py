@@ -421,7 +421,12 @@ _T_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 _T_DECL = re.compile(r"<![^>]*>")
 _T_PI = re.compile(r"<\?[^>]*>")
 _T_ATTR = re.compile(
-    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    # names must exclude quote chars: the serializer re-emits names
+    # verbatim before ="value", and a quote inside a name opens an
+    # unterminated quoted run in _T_START's attr chunk on REPARSE --
+    # html() would not be a fixed point (hypothesis: parse("<a'='>")
+    # once serialized as <a '="'">, which re-parses as literal text)
+    r"([^\s=/>\"']+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),

@@ -434,8 +434,21 @@ def run_extraction(
     # wall_ms_sum by the parts-per-wave factor (the same discipline
     # job_summary applies)
     try:
+        # mergeSchema + wave backfill: resuming a pre-round-4 output_dir
+        # appends new-schema lineage next to wave-less legacy files, and
+        # a plain read infers from ONE footer -- the same back-compat
+        # treatment job_summary applies
+        lineage_all = spark.read.option("mergeSchema", "true").parquet(
+            lineage_path
+        )
+        if "wave" not in lineage_all.columns:
+            lineage_all = lineage_all.withColumn("wave", F.lit(-1))
+        else:
+            lineage_all = lineage_all.withColumn(
+                "wave", F.coalesce(F.col("wave"), F.lit(-1))
+            )
         per_wave = (
-            spark.read.parquet(lineage_path)
+            lineage_all
             .groupBy("attempt", "wave", "wall_ms")
             .agg(
                 F.sum("doc_count").alias("docs"),
@@ -454,8 +467,16 @@ def run_extraction(
             F.sum("parts").alias("parts"),
         )
         metrics.write.mode("overwrite").parquet(metrics_path)
-    except Exception:
-        pass
+    except Exception as exc:
+        # the rollup is derived data -- lineage (already committed above)
+        # stays the source of truth, so the run must not fail here; but a
+        # permissions error or schema clash on the metrics write has to
+        # leave a trace, not vanish (round-5 verdict: bare pass hid it)
+        print(
+            f"[pipeline] metrics rollup to {metrics_path} failed "
+            f"({type(exc).__name__}: {exc}); committed lineage at "
+            f"{lineage_path} remains authoritative"
+        )
     return stats
 
 

@@ -1,0 +1,288 @@
+"""Round-6 pins: bounded-memory star contraction, state_dir input
+fingerprinting + snapshot pruning, loud metrics-rollup failures, and
+the ADVICE r5 hardening items (finally-scoped unpersist, legacy-lineage
+metrics rollup, id-column validation)."""
+
+import os
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory contraction (_star_batches node cap)
+# ---------------------------------------------------------------------------
+
+def test_star_batches_flushes_at_node_cap():
+    """The union-find dict must never exceed the node cap (a skewed
+    pair file that lands one giant family in one partition used to grow
+    it without bound), and the flushed partial stars must still stitch
+    into the same single component."""
+    import pandas as pd
+
+    from readabilityimproved_spark.operators.graph import _star_batches
+
+    chain = pd.DataFrame(
+        {"a": list(range(0, 30)), "b": list(range(1, 31))}
+    )
+    stats = {}
+    outs = list(_star_batches(iter([chain]), "a", "b", 6, stats=stats))
+    assert stats["peak_nodes"] <= 6
+    assert len(outs) > 1  # the cap actually forced mid-batch flushes
+
+    # python-side union-find over the emitted stars: one component,
+    # rooted at the global min
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pdf in outs:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    assert set(parent) == set(range(31))
+    assert {find(n) for n in parent} == {0}
+
+    with pytest.raises(ValueError, match="max_nodes"):
+        list(_star_batches(iter([chain]), "a", "b", 1))
+
+
+def test_clusters_identical_labels_under_tiny_contract_cap(spark):
+    """Flushing partial stars is a pure memory bound: labels through
+    neardup_clusters must be identical with an absurdly small cap, a
+    production-size cap, and contraction off."""
+    import random
+
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    rng = random.Random(606)
+    edges = {(i, i + 1) for i in range(80)}  # chain
+    edges |= {(5, t) for t in range(100, 120)}  # star
+    for _ in range(60):
+        a, b = rng.sample(range(200), 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    for layout in (df.coalesce(1), df.repartition(7)):
+        tiny = {
+            tuple(r)
+            for r in neardup_clusters(
+                layout, contract_node_cap=4
+            ).collect()
+        }
+        off = {
+            tuple(r)
+            for r in neardup_clusters(layout, pre_contract=False).collect()
+        }
+        assert tiny == off
+
+
+def test_clusters_missing_id_column_raises_value_error(spark):
+    """A misspelled id column must fail with the same helpful error
+    style as every other invalid argument -- naming the missing column
+    and what IS available -- not a raw schema KeyError."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match=r"id_aa.*id_a"):
+        neardup_clusters(pairs, id_a="id_aa")
+
+
+def test_dom_attr_names_with_quotes_roundtrip_stable():
+    """Regression (hypothesis, round 6): a quote inside an attribute
+    NAME used to serialize into a tag the tokenizer cannot re-parse
+    (the quote opens an unterminated quoted run), so html() was not a
+    fixed point. Quote-bearing names are now dropped at parse time."""
+    from readabilityimproved_spark.dom import parse
+
+    for s in ("<a'='>", '<a"="">', "<a '='x'>hello</a>"):
+        once = parse(s).body().html()
+        assert parse(once).body().html() == once, s
+    # legit attributes are untouched
+    doc = parse("<a href='x' data-k=\"v'w\">t</a>")
+    assert doc.body().html() == '<a href="x" data-k="v\'w">t</a>'
+
+
+# ---------------------------------------------------------------------------
+# state_dir: input fingerprint + snapshot retention
+# ---------------------------------------------------------------------------
+
+def test_clusters_state_dir_pruned_to_two_snapshots(spark, tmp_path):
+    """Snapshots must not accumulate one label-table copy per k rounds:
+    only the newest two survive, and resume still works off them."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    ).repartition(8)
+    state = tmp_path / "state"
+    got = {
+        tuple(r)
+        for r in neardup_clusters(
+            chain, pre_contract=False, checkpoint_interval=1,
+            state_dir=str(state),
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(401)}
+    snaps = sorted(
+        p.name for p in state.iterdir() if p.name.startswith("labels_r")
+    )
+    assert len(snaps) == 2, snaps
+    # resume from the pruned directory still converges
+    again = {
+        tuple(r)
+        for r in neardup_clusters(
+            chain, pre_contract=False, checkpoint_interval=1,
+            state_dir=str(state),
+        ).collect()
+    }
+    assert again == got
+
+
+def test_clusters_state_dir_rejects_foreign_pairs(spark, tmp_path, capsys):
+    """Resuming a state_dir built from a DIFFERENT pairs input must not
+    silently import foreign labels / drop nodes: the fingerprint
+    mismatch warns and starts fresh, and the result is correct for the
+    NEW input."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    state = str(tmp_path / "state")
+    kw = dict(pre_contract=False, checkpoint_interval=1, state_dir=state)
+    chain_a = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    ).repartition(4)
+    neardup_clusters(chain_a, **kw).collect()
+    capsys.readouterr()
+
+    chain_b = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1060)], "id_a long, id_b long"
+    ).repartition(4)
+    got = {tuple(r) for r in neardup_clusters(chain_b, **kw).collect()}
+    assert got == {(i, 1000) for i in range(1000, 1061)}
+    assert "DIFFERENT pairs input" in capsys.readouterr().out
+
+
+def test_clusters_legacy_marker_resumes_with_warning(spark, tmp_path, capsys):
+    """Pre-round-6 state markers carry no fingerprint column: they must
+    still resume (back-compat), but loudly marked UNVERIFIED."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    state = str(tmp_path / "state")
+    kw = dict(pre_contract=False, checkpoint_interval=1, state_dir=state)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    ).repartition(4)
+    neardup_clusters(chain, **kw).collect()
+
+    # strip the fingerprint column, emulating a round-5 marker table
+    rows = [
+        (r["round"], r["label_sum"])
+        for r in spark.read.parquet(f"{state}/state").collect()
+    ]
+    spark.createDataFrame(
+        rows, "round int, label_sum string"
+    ).write.mode("overwrite").parquet(f"{state}/state")
+    capsys.readouterr()
+
+    got = {tuple(r) for r in neardup_clusters(chain, **kw).collect()}
+    assert got == {(i, 0) for i in range(61)}
+    assert "UNVERIFIED" in capsys.readouterr().out
+
+
+def test_clusters_reliable_mode_cap_raise_leaves_no_cached_residue(
+    spark, tmp_path
+):
+    """Any exit path -- here the round-cap raise -- must clear the
+    persisted intermediate rounds (the finally-scoped unpersist), not
+    just the convergence path."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "id_a long, id_b long"
+    ).repartition(8)
+    with pytest.raises(RuntimeError, match="converge"):
+        neardup_clusters(
+            chain, pre_contract=False, max_rounds=3,
+            checkpoint_dir=str(tmp_path / "ck"), checkpoint_interval=2,
+        )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# pipeline metrics rollup: loud failures, legacy-schema tolerance
+# ---------------------------------------------------------------------------
+
+def test_metrics_rollup_failure_is_logged_not_swallowed(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """A failing metrics write (permissions, schema clash, disk) must
+    leave a diagnosable trace while the run itself still succeeds --
+    lineage is the committed source of truth."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from pyspark.sql.readwriter import DataFrameWriter
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(spark, 40, corpus)
+    out = str(tmp_path / "out")
+
+    orig = DataFrameWriter.parquet
+
+    def failing(self, path, *a, **kw):
+        # match only the rollup target (the tmpdir name itself contains
+        # the test name, so a substring check would hit every write)
+        if path.rstrip("/").endswith("/metrics"):
+            raise RuntimeError("injected: metrics disk full")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", failing)
+    stats = P.run_extraction(
+        spark, corpus, out, num_parts=8, waves=2, resume=False
+    )
+    assert stats["docs"] == 40
+    printed = capsys.readouterr().out
+    assert "metrics rollup" in printed and "injected" in printed
+    # lineage landed; only the derived rollup is missing
+    assert spark.read.parquet(os.path.join(out, "lineage")).count() > 0
+    assert not os.path.exists(os.path.join(out, "metrics"))
+
+
+def test_metrics_rollup_tolerates_pre_wave_lineage(spark, tmp_path):
+    """Resuming a pre-round-4 output_dir (lineage without a wave
+    column) must still produce the metrics table: the rollup merges
+    schemas and backfills wave -1 exactly like job_summary, instead of
+    raising into the old silent except."""
+    import readabilityimproved_spark.plans.pipeline as P
+    from readabilityimproved_spark.sources.synth import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(spark, 40, corpus)
+    out = str(tmp_path / "out")
+    P.run_extraction(spark, corpus, out, num_parts=8, waves=2, resume=False)
+
+    # inject a legacy attempt: same columns minus wave
+    legacy = spark.createDataFrame(
+        [
+            (90, 7, 30, 3, 0, "ok", 111, 800),
+            (91, 5, 20, 2, 0, "ok", 111, 900),
+        ],
+        "part int, doc_count bigint, span_count bigint, image_count bigint,"
+        " error_count bigint, status string, attempt int, wall_ms int",
+    )
+    legacy.write.mode("append").parquet(os.path.join(out, "lineage"))
+
+    # resume run: all real parts done, so only the rollup has work
+    P.run_extraction(spark, corpus, out, num_parts=8, waves=2, resume=True)
+    metrics = {
+        r["attempt"]: r
+        for r in spark.read.parquet(os.path.join(out, "metrics")).collect()
+    }
+    assert 111 in metrics and metrics[111]["docs"] == 12
+    assert metrics[111]["wall_ms_sum"] == 1700  # 800 + 900, once per wave
+    real = [r for a, r in metrics.items() if a != 111]
+    assert sum(r["docs"] for r in real) == 40
