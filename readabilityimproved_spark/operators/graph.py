@@ -201,14 +201,17 @@ def neardup_clusters(
     ``state_dir`` and the SAME pairs input resumes from the newest
     readable snapshot instead of round 1 -- including after a
     round-cap RuntimeError, whose completed snapshots remain valid.
-    Each marker records an INPUT FINGERPRINT (edge count + exact
-    decimal sum of per-edge xxhash64 over the symmetrized edge table,
-    one cheap action per run): resuming against a state_dir built from
-    a DIFFERENT pairs input would silently drop nodes and import
-    foreign labels, so on fingerprint mismatch the run warns and
-    starts fresh. Snapshots are PRUNED to the newest 2 (resume needs
-    the latest; one spare in case the newest write was torn -- resume
-    falls back to it); the tiny marker table is kept whole.
+    Each marker records an INPUT FINGERPRINT (pair count + exact
+    decimal sum of per-pair xxhash64 over (min, max) of the RAW pairs
+    -- orientation/order/partitioning-invariant, and computed before
+    the layout-dependent contraction pass; one cheap action per run):
+    resuming against a state_dir built from a DIFFERENT pairs input
+    would silently drop nodes and import foreign labels, so on
+    fingerprint mismatch the run warns, CLEARS the stale directory
+    (mixed markers from two inputs could tie-break a later rerun onto
+    the wrong labels table), and starts fresh. Snapshots are PRUNED to
+    the newest 2 (resume needs the latest; one spare in case the
+    newest write was torn -- resume falls back to it).
 
     ``checkpoint_dir``: optional reliable-checkpoint location. In this
     mode NOTHING is localCheckpoint-ed (local checkpoints truncate
@@ -278,6 +281,26 @@ def neardup_clusters(
     # as float NaN, and NaN != NaN would spin union-find's parent walk
     # forever.)
     pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+    edge_fp = None
+    if state_dir is not None:
+        # input fingerprint for snapshot/resume validation, computed
+        # over the RAW pairs BEFORE contraction (the contracted stars
+        # depend on partition layout and flush boundaries, so they
+        # would falsely mismatch a same-input rerun at different
+        # parallelism): row count + exact decimal sum of per-pair
+        # xxhash64 over (min, max) -- orientation-, order- and
+        # partitioning-invariant. ONE extra action per run, only when
+        # durability was requested.
+        lo = F.least(F.col(id_a), F.col(id_b))
+        hi = F.greatest(F.col(id_a), F.col(id_b))
+        fp = pairs.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(
+                F.sum(F.xxhash64(lo, hi).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("hsum"),
+        ).collect()[0]
+        edge_fp = f"{fp['cnt']}:{fp['hsum']}"
     if pre_contract:
         pairs = _contract_local(pairs, id_a, id_b, max_nodes=contract_node_cap)
 
@@ -328,31 +351,33 @@ def neardup_clusters(
         # 10^12-row id sum hits (ANSI mode would raise mid-job)
         return F.sum(F.col(col).cast("decimal(38,0)"))
 
+    def _list_snapshots():
+        # (round, jvm Path) for every labels_r{N} dir, from ONE listing;
+        # the listed Path is reused for deletion so path construction
+        # cannot drift from what the filesystem resolved
+        from ..plans.pipeline import _hadoop_fs
+
+        fs, p = _hadoop_fs(spark, state_dir)
+        if not fs.exists(p):
+            return fs, []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("labels_r"):
+                try:
+                    out.append((int(name[len("labels_r"):]), st.getPath()))
+                except ValueError:
+                    pass
+        return fs, out
+
     def _prune_snapshots(keep: int = 2) -> None:
         # resume needs only the newest snapshot (plus one spare in case
         # that write was torn); without pruning a long incremental
         # cadence accumulates one full label-table copy per k rounds
-        from ..plans.pipeline import _hadoop_fs
-
         try:
-            fs, p = _hadoop_fs(spark, state_dir)
-            if not fs.exists(p):
-                return
-            rounds = []
-            for st in fs.listStatus(p):
-                name = st.getPath().getName()
-                if st.isDirectory() and name.startswith("labels_r"):
-                    try:
-                        rounds.append(int(name[len("labels_r"):]))
-                    except ValueError:
-                        pass
-            for rnd in sorted(rounds)[:-keep]:
-                fs.delete(
-                    spark._jvm.org.apache.hadoop.fs.Path(
-                        f"{state_dir}/labels_r{rnd}"
-                    ),
-                    True,
-                )
+            fs, snaps = _list_snapshots()
+            for _, path in sorted(snaps, key=lambda t: t[0])[:-keep]:
+                fs.delete(path, True)
         except Exception as exc:
             # pruning is hygiene, not correctness: never fail the job
             # over it, but leave a trace (unbounded growth is a cost)
@@ -360,6 +385,28 @@ def neardup_clusters(
                 f"[neardup_clusters] snapshot prune in {state_dir} "
                 f"failed ({type(exc).__name__}: {exc}); older snapshots "
                 "may accumulate"
+            )
+
+    def _clear_state() -> None:
+        # a state_dir whose content does not belong to THIS input must
+        # be emptied, not just ignored: markers are append-only and
+        # labels_r{N} dirs are keyed by round alone, so leaving foreign
+        # rows behind lets a later rerun tie-break onto the WRONG
+        # labels parquet (silently wrong clusters) or rank a stale
+        # higher-round marker first forever (resume permanently dead)
+        from ..plans.pipeline import _hadoop_fs
+
+        try:
+            fs, snaps = _list_snapshots()
+            for _, path in snaps:
+                fs.delete(path, True)
+            _, mp = _hadoop_fs(spark, f"{state_dir}/state")
+            fs.delete(mp, True)
+        except Exception as exc:
+            print(
+                f"[neardup_clusters] could not clear stale state in "
+                f"{state_dir} ({type(exc).__name__}: {exc}); delete it "
+                "manually before the next resume"
             )
 
     def _snapshot(labels_df: DataFrame, rnd: int, label_sum, edge_fp) -> None:
@@ -378,20 +425,32 @@ def neardup_clusters(
         from pyspark.errors import AnalysisException
 
         try:
-            # mergeSchema: pre-round-6 markers have no edge_fp column
+            # mergeSchema: pre-round-6 markers have no edge_fp column.
+            # dropDuplicates on round: repeat runs append identical
+            # marker rows, and two copies of the newest round would
+            # defeat the one-older-snapshot fallback below.
             markers = spark.read.option("mergeSchema", "true").parquet(
                 f"{state_dir}/state"
             )
-            rows = markers.orderBy(F.col("round").desc()).limit(2).collect()
+            rows = (
+                markers.dropDuplicates(["round"])
+                .orderBy(F.col("round").desc())
+                .limit(2)
+                .collect()
+            )
         except AnalysisException:
             return None  # no state yet: the expected first-run case
         except Exception as exc:
             # corrupt/unreadable state must not silently disable the
-            # durability the caller is paying snapshot writes for
+            # durability the caller is paying snapshot writes for --
+            # and appending fresh markers NEXT TO corrupt ones would
+            # poison every later resume, so clear it
             print(
                 f"[neardup_clusters] state resume from {state_dir} "
-                f"failed ({type(exc).__name__}: {exc}); starting fresh"
+                f"failed ({type(exc).__name__}: {exc}); clearing the "
+                "directory and starting fresh"
             )
+            _clear_state()
             return None
         has_fp = "edge_fp" in markers.columns
         for row in rows:
@@ -406,12 +465,17 @@ def neardup_clusters(
             elif stored_fp != edge_fp:
                 # a different pairs input: resuming would silently drop
                 # nodes absent from the old labels and import foreign
-                # clusters -- the one failure mode worse than recompute
+                # clusters -- the one failure mode worse than recompute.
+                # The stale content is CLEARED, not just ignored: mixed
+                # markers/snapshots from two inputs could otherwise
+                # tie-break a later rerun onto the wrong labels table.
                 print(
                     f"[neardup_clusters] state_dir {state_dir} was built "
                     f"from a DIFFERENT pairs input (fingerprint "
-                    f"{stored_fp} != {edge_fp}); starting fresh"
+                    f"{stored_fp} != {edge_fp}); clearing it and "
+                    "starting fresh"
                 )
+                _clear_state()
                 return None
             rnd = int(row["round"])
             from decimal import Decimal
@@ -437,22 +501,6 @@ def neardup_clusters(
             if reliable
             else edges.localCheckpoint(eager=False)
         )
-        edge_fp = None
-        if state_dir is not None:
-            # input fingerprint for snapshot/resume validation: edge
-            # count + exact decimal sum of per-edge xxhash64 over the
-            # symmetrized distinct edge table (order/partitioning
-            # invariant). ONE extra action per run -- and it
-            # materializes the lazy edge checkpoint that round 1 would
-            # have paid for anyway.
-            fp = edges.agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.coalesce(
-                    F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("hsum"),
-            ).collect()[0]
-            edge_fp = f"{fp['cnt']}:{fp['hsum']}"
         resumed = _resume_state(edge_fp)
         if resumed is not None:
             # the marker stored the snapshot's exact decimal sum -- no

@@ -166,6 +166,55 @@ def test_clusters_state_dir_rejects_foreign_pairs(spark, tmp_path, capsys):
     assert got == {(i, 1000) for i in range(1000, 1061)}
     assert "DIFFERENT pairs input" in capsys.readouterr().out
 
+    # the stale content was CLEARED, not left to poison later reruns:
+    # every surviving marker carries B's fingerprint only (mixed rounds
+    # from two inputs could tie-break a future resume onto the wrong
+    # labels table), and rerunning A starts fresh again -- correctly
+    fps = {
+        r["edge_fp"]
+        for r in spark.read.parquet(f"{state}/state").collect()
+    }
+    assert len(fps) == 1
+    got_a = {tuple(r) for r in neardup_clusters(chain_a, **kw).collect()}
+    assert got_a == {(i, 0) for i in range(61)}
+    assert "DIFFERENT pairs input" in capsys.readouterr().out
+
+
+def test_clusters_fingerprint_is_layout_invariant(spark, tmp_path, capsys):
+    """The fingerprint hashes the RAW pairs, not the contracted stars:
+    the same input rerun at a different partitioning (different flush
+    boundaries, different local roots) must RESUME, not false-mismatch
+    -- that is the whole driver-loss scenario state_dir exists for."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    state = str(tmp_path / "state")
+    rows = [(i, i + 1) for i in range(80)] + [(200, 201)]
+    a = spark.createDataFrame(rows, "id_a long, id_b long").repartition(2)
+    # reversed orientation + different layout + different contract cap:
+    # same logical input
+    b = spark.createDataFrame(
+        [(y, x) for x, y in rows], "id_a long, id_b long"
+    ).repartition(9)
+    want = {(i, 0) for i in range(81)} | {(200, 200), (201, 200)}
+
+    got = {
+        tuple(r)
+        for r in neardup_clusters(
+            a, checkpoint_interval=1, state_dir=state
+        ).collect()
+    }
+    assert got == want
+    capsys.readouterr()
+    got2 = {
+        tuple(r)
+        for r in neardup_clusters(
+            b, checkpoint_interval=1, state_dir=state, contract_node_cap=5
+        ).collect()
+    }
+    assert got2 == want
+    out = capsys.readouterr().out
+    assert "DIFFERENT pairs input" not in out, out
+
 
 def test_clusters_legacy_marker_resumes_with_warning(spark, tmp_path, capsys):
     """Pre-round-6 state markers carry no fingerprint column: they must
