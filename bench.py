@@ -44,7 +44,9 @@ def _load1() -> float:
     regression."""
     try:
         return round(os.getloadavg()[0], 2)
-    except OSError:  # non-POSIX fallback: report "unknown", never crash
+    except (OSError, AttributeError):
+        # non-POSIX fallback: report "unknown", never crash (Windows
+        # has no os.getloadavg at all -- AttributeError, not OSError)
         return -1.0
 
 
@@ -161,14 +163,22 @@ def scale_phase(cores: int) -> None:
 def run_pinned(cores: int) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--phase", "scale",
            "--cores", str(cores)]
-    if shutil.which("taskset"):
-        # pin to the TOP of the core range: core 0 (and its neighbors)
-        # service most IRQs and whatever background work the host runs,
-        # which lands disproportionately on the 2-core "small executor"
-        # when it is pinned to 0-1 and depresses measured efficiency
-        ncpu = os.cpu_count() or 32
-        lo, hi = max(0, ncpu - cores), ncpu - 1
-        cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+    try:
+        # the cpuset/affinity ACTUALLY granted to this process, not
+        # os.cpu_count(): under docker --cpuset-cpus or a CI cgroup the
+        # host count over-reports, and pinning to a forbidden CPU makes
+        # taskset fail -> empty stdout -> the bench dies on a parse
+        allowed = sorted(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux: run unpinned
+        allowed = []
+    if shutil.which("taskset") and len(allowed) >= cores:
+        # pin to the TOP of the allowed range: core 0 (and its
+        # neighbors) service most IRQs and whatever background work the
+        # host runs, which lands disproportionately on the 2-core
+        # "small executor" when it is pinned to 0-1 and depresses
+        # measured efficiency
+        picked = allowed[-cores:]
+        cmd = ["taskset", "-c", ",".join(map(str, picked))] + cmd
     env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
     line = out.stdout.strip().splitlines()[-1]
@@ -325,10 +335,25 @@ def main() -> None:
     for i, sp in enumerate(pipe_steal):
         if sp > _STEAL_BAR:
             flagged.append(f"pipeline rep {i} ran at {sp}% CPU steal")
+    # the pinned phases use only `cores` of the host's CPUs, but
+    # /proc/stat jiffies cover ALL of them -- steal concentrated on the
+    # pinned cores is diluted by cores/ncpu (16x for the 2-core run),
+    # so the full-width bar would essentially never trip for exactly
+    # the phase the north-rule efficiency number depends on. Scale the
+    # bar by the pinned fraction, floored at 1% (sub-percent global
+    # steal is hypervisor housekeeping noise, observed ~0.02-0.05% on
+    # a quiet host).
+    host_cpus = os.cpu_count() or CPUS  # /proc/stat covers the HOST
     for i, pair in enumerate(scale_loads):
-        sp = max(pair["steal_small"], pair["steal_large"])
-        if sp > _STEAL_BAR:
-            flagged.append(f"scaling rep {i} ran at {sp}% CPU steal")
+        for side, side_cores in (
+            ("steal_small", SCALE_SMALL), ("steal_large", SCALE_LARGE)
+        ):
+            bar = max(1.0, _STEAL_BAR * side_cores / host_cpus)
+            if pair[side] > bar:
+                flagged.append(
+                    f"scaling rep {i} ({side_cores}-core run) saw "
+                    f"{pair[side]}% host-wide CPU steal > {round(bar, 1)}%"
+                )
     if flagged:
         print(
             "[bench] WARNING: host load detected during this run -- "

@@ -169,6 +169,12 @@ def _contract_local(
     nodes, 2.3 s): a 10^12-edge contraction is ~minutes across a few
     thousand cores, paid once to shrink every subsequent round.
     """
+    if max_nodes < 2:
+        # validate on the DRIVER before any plan is built: inside
+        # _star_batches the same check would only fire lazily on
+        # executors, surfacing as an opaque mid-job PythonException
+        # after the caller already paid upstream actions
+        raise ValueError(f"max_nodes must be >= 2, got {max_nodes}")
     out_schema = StructType(
         [pairs.schema[id_a], pairs.schema[id_b]]
     )
@@ -262,6 +268,13 @@ def neardup_clusters(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval} "
             "(0 would divide by zero mid-job; negative silently disables "
             "the reliable checkpoints the caller asked for)"
+        )
+    if pre_contract and contract_node_cap < 2:
+        # checked here, not just lazily in the Arrow pass: by the time
+        # an executor raises, the caller has already paid the optional
+        # fingerprint action and job-launch overhead
+        raise ValueError(
+            f"contract_node_cap must be >= 2, got {contract_node_cap}"
         )
     for col in (id_a, id_b):
         if col not in pairs.columns:
@@ -374,10 +387,42 @@ def neardup_clusters(
         # resume needs only the newest snapshot (plus one spare in case
         # that write was torn); without pruning a long incremental
         # cadence accumulates one full label-table copy per k rounds
+        from pyspark.errors import AnalysisException
+
         try:
             fs, snaps = _list_snapshots()
-            for _, path in sorted(snaps, key=lambda t: t[0])[:-keep]:
+            dropped = sorted(snaps, key=lambda t: t[0])[:-keep]
+            for _, path in dropped:
                 fs.delete(path, True)
+            if not dropped:
+                return
+            # compact the marker table to the SURVIVING rounds: markers
+            # are append-only one-row parquet files, so without this
+            # every resume's mergeSchema read opens one footer per
+            # lifetime snapshot -- O(total snapshots ever) RPCs on an
+            # object store. Rows are tiny (one per snapshot), so a
+            # driver-side collect + overwrite is the cheap rewrite;
+            # legacy no-fingerprint rows are kept with a null edge_fp
+            # (resume already treats that as UNVERIFIED).
+            kept = {r for r, _ in snaps} - {r for r, _ in dropped}
+            try:
+                rows = spark.read.option("mergeSchema", "true").parquet(
+                    f"{state_dir}/state"
+                ).collect()
+            except AnalysisException:
+                return  # no marker table yet: nothing to compact
+            live = [
+                (int(r["round"]), str(r["label_sum"]),
+                 r.asDict().get("edge_fp"))
+                for r in rows
+                if int(r["round"]) in kept
+            ]
+            if len(live) < len(rows):
+                spark.createDataFrame(
+                    live, "round int, label_sum string, edge_fp string"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{state_dir}/state"
+                )
         except Exception as exc:
             # pruning is hygiene, not correctness: never fail the job
             # over it, but leave a trace (unbounded growth is a cost)
@@ -388,20 +433,20 @@ def neardup_clusters(
             )
 
     def _clear_state() -> None:
-        # a state_dir whose content does not belong to THIS input must
-        # be emptied, not just ignored: markers are append-only and
-        # labels_r{N} dirs are keyed by round alone, so leaving foreign
-        # rows behind lets a later rerun tie-break onto the WRONG
-        # labels parquet (silently wrong clusters) or rank a stale
-        # higher-round marker first forever (resume permanently dead)
-        from ..plans.pipeline import _hadoop_fs
+        # a state_dir whose content VERIFIABLY does not belong to THIS
+        # input (fingerprint mismatch) must be emptied, not just
+        # ignored: markers are append-only and labels_r{N} dirs are
+        # keyed by round alone, so leaving foreign rows behind lets a
+        # later rerun tie-break onto the WRONG labels parquet (silently
+        # wrong clusters) or rank a stale higher-round marker first
+        # forever (resume permanently dead)
+        from ..plans.pipeline import _fs_delete
 
         try:
             fs, snaps = _list_snapshots()
             for _, path in snaps:
                 fs.delete(path, True)
-            _, mp = _hadoop_fs(spark, f"{state_dir}/state")
-            fs.delete(mp, True)
+            _fs_delete(spark, f"{state_dir}/state")
         except Exception as exc:
             print(
                 f"[neardup_clusters] could not clear stale state in "
@@ -441,16 +486,18 @@ def neardup_clusters(
         except AnalysisException:
             return None  # no state yet: the expected first-run case
         except Exception as exc:
-            # corrupt/unreadable state must not silently disable the
-            # durability the caller is paying snapshot writes for --
-            # and appending fresh markers NEXT TO corrupt ones would
-            # poison every later resume, so clear it
+            # a marker READ failure is not proof of corruption -- an
+            # object-store throttle or FS timeout lands here too, and
+            # deleting days of valid snapshots over a transient error
+            # is worse than one redundant recompute. Keep the data,
+            # warn loudly, start fresh; only a VERIFIED mismatch (the
+            # fingerprint branch below) clears the directory.
             print(
                 f"[neardup_clusters] state resume from {state_dir} "
-                f"failed ({type(exc).__name__}: {exc}); clearing the "
-                "directory and starting fresh"
+                f"failed ({type(exc).__name__}: {exc}); starting fresh "
+                "WITHOUT clearing it (may be transient -- if the state "
+                "table is truly corrupt, delete the directory manually)"
             )
-            _clear_state()
             return None
         has_fp = "edge_fp" in markers.columns
         for row in rows:

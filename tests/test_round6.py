@@ -133,6 +133,16 @@ def test_clusters_state_dir_pruned_to_two_snapshots(spark, tmp_path):
         p.name for p in state.iterdir() if p.name.startswith("labels_r")
     )
     assert len(snaps) == 2, snaps
+    # the MARKER table is compacted alongside: markers are append-only
+    # one-row parquet files, so without compaction every resume's
+    # mergeSchema read opens one footer per lifetime snapshot. After
+    # pruning, only rows for the surviving rounds remain.
+    kept_rounds = {int(s[len("labels_r"):]) for s in snaps}
+    marker_rounds = {
+        r["round"]
+        for r in spark.read.parquet(str(state / "state")).collect()
+    }
+    assert marker_rounds <= kept_rounds, (marker_rounds, kept_rounds)
     # resume from the pruned directory still converges
     again = {
         tuple(r)
@@ -335,3 +345,58 @@ def test_metrics_rollup_tolerates_pre_wave_lineage(spark, tmp_path):
     assert metrics[111]["wall_ms_sum"] == 1700  # 800 + 900, once per wave
     real = [r for a, r in metrics.items() if a != 111]
     assert sum(r["docs"] for r in real) == 40
+
+
+def test_clusters_corrupt_marker_read_preserves_snapshots(
+    spark, tmp_path, capsys
+):
+    """A marker READ failure is not proof of corruption -- an object
+    store throttle lands in the same except path -- so resume must warn
+    and start fresh WITHOUT deleting the (possibly valid) snapshots.
+    Only a verified fingerprint mismatch may clear the directory."""
+    from readabilityimproved_spark.operators.graph import neardup_clusters
+
+    state = tmp_path / "state"
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    want = {(i, 0) for i in range(61)}
+    kw = dict(checkpoint_interval=1, state_dir=str(state))
+    assert {tuple(r) for r in neardup_clusters(chain, **kw).collect()} == want
+    snaps_before = sorted(
+        p.name for p in state.iterdir() if p.name.startswith("labels_r")
+    )
+    assert snaps_before
+    # corrupt the marker table: a garbage file makes the parquet read
+    # raise a non-AnalysisException error
+    for f in (state / "state").iterdir():
+        if f.name.endswith(".parquet"):
+            f.write_bytes(b"not a parquet file")
+    capsys.readouterr()
+    got = {tuple(r) for r in neardup_clusters(chain, **kw).collect()}
+    assert got == want  # fresh recompute is still correct
+    out = capsys.readouterr().out
+    assert "WITHOUT clearing" in out, out
+    snaps_after = sorted(
+        p.name for p in state.iterdir() if p.name.startswith("labels_r")
+    )
+    # the label snapshots survived the unreadable-marker episode
+    assert set(snaps_before) <= set(snaps_after), (snaps_before, snaps_after)
+
+
+def test_clusters_contract_cap_validated_eagerly(spark):
+    """contract_node_cap < 2 must raise on the DRIVER before any job
+    launches, like every other argument check -- not as an opaque
+    executor-side PythonException mid-job."""
+    import pytest
+
+    from readabilityimproved_spark.operators.graph import (
+        _contract_local,
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="contract_node_cap"):
+        neardup_clusters(pairs, contract_node_cap=1)
+    with pytest.raises(ValueError, match="max_nodes"):
+        _contract_local(pairs, "id_a", "id_b", max_nodes=1)
