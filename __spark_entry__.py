@@ -510,6 +510,110 @@ FROM s GROUP BY 1, 2
 """
 
 
+_ASOF_TOL_US = 24 * 3600 * 1_000_000  # half the clicks match at sf0.01
+_RANGE_IV_HOURS = 12
+_RANGE_BIN_US = _RANGE_IV_HOURS * 3600 * 1_000_000  # bin == interval length
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution: each click joined to the user's most recent
+    view at-or-before it, within 24 h (operators/relational.asof_join —
+    union + single-exchange window, no inequality join). The view side
+    is pre-aggregated per (user, ts) so duplicate-timestamp winners are
+    deterministic (same contract as DuckDB ASOF / pandas merge_asof)."""
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        value_cols=("view_event_id",),
+        tolerance_us=_ASOF_TOL_US,
+        matched_ts_col="view_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "view_event_id",
+    )
+
+
+def _oracle_asof_join_events() -> str:
+    # DuckDB ASOF picks the greatest view.ts <= click.ts (inclusive);
+    # outside-tolerance matches become NULL (no farther candidate can be
+    # closer), exactly the operator's tolerance contract. CASE is
+    # NULL-safe for unmatched rows.
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US}
+            THEN v.ts END AS view_ts,
+       CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US}
+            THEN v.view_event_id END AS view_event_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: clicks landing within 12 h after an error
+    by the same user (operators/relational.range_join — binned
+    equi-join on (user, epoch-bin), no nested-loop theta join)."""
+    from readabilityimproved_spark.operators.relational import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errs = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr(f"INTERVAL {_RANGE_IV_HOURS} HOURS")).alias("t1"),
+    )
+    out = range_join(
+        clicks, errs, on="user_id", bin_us=_RANGE_BIN_US
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "err_id",
+        F.col("t0").cast("timestamp_ntz").alias("err_t0"),
+    )
+
+
+def _oracle_range_join_events() -> str:
+    return f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errs AS (
+  SELECT event_id AS err_id, user_id, ts AS t0,
+         ts + INTERVAL {_RANGE_IV_HOURS} HOUR AS t1
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, c.ts, e.err_id, e.t0 AS err_t0
+FROM clicks c JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.t0 AND c.ts <= e.t1
+"""
+
+
 # ---------------------------------------------------------------------------
 # curation tier: training-corpus operators (operators/curation.py)
 # ---------------------------------------------------------------------------
@@ -2132,8 +2236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": sql_query(_bpe_token_count_query),
         "rolling_hash": sql_query(_rolling_hash_query),
         "url_normalize": sql_query(_url_normalize_query),
-        # --- new this round: incremental clustering ------------------------
+        # --- new this round: incremental clustering + temporal joins -------
         "neardup_incremental": q_neardup_incremental,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2231,6 +2337,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_index": _oracle_ivf_topk(),
         "event_window_agg": _oracle_event_window_agg(),
         "sessionize_events": _oracle_sessionize_events(),
+        "asof_join_events": _oracle_asof_join_events(),
+        "range_join_events": _oracle_range_join_events(),
         "tpch_star_rollup": _oracle_tpch_star_rollup(),
         "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),

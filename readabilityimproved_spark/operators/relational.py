@@ -153,6 +153,214 @@ def customers_without_orders(
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+# NTZ epoch-micros idiom shared with streaming.sessionize_events_batch:
+# wall-clock micros via timestampdiff on TIMESTAMP_NTZ, so values never
+# depend on the driver session's timezone (a unix_micros(cast) detour
+# would shift events falling in a DST gap on a non-UTC session).
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _ntz_micros(col: str) -> F.Column:
+    return F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, CAST({col} AS TIMESTAMP_NTZ))"
+    )
+
+
+def _floordiv_us(us: F.Column, divisor: int) -> F.Column:
+    """Exact floor division of integer microseconds by an integer bin
+    width. ``floor(us / d)`` in DOUBLE can flip at exact bin boundaries
+    (0.5-ulp division error); subtracting ``pmod`` first makes the
+    numerator exactly divisible, so the division is exact for every
+    representable epoch and both signs (pmod is always non-negative,
+    which is precisely floor semantics for negative pre-1970 stamps)."""
+    d = F.lit(divisor)
+    return ((us - F.pmod(us, d)) / d).cast("bigint")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple = (),
+    tolerance_us: int | None = None,
+    matched_ts_col: str = "matched_ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for every left row, attach the nearest right row of
+    the same ``on`` key at-or-before (``backward``) / at-or-after
+    (``forward``) the left timestamp, optionally within ``tolerance_us``
+    microseconds (matches outside tolerance become NULL — any farther
+    candidate is farther still, so there is no fallback match).
+
+    The reference engine has no temporal joins (SURVEY.md §2.7 — it is a
+    per-document extractor); this is a first-class relational addition
+    in the family Spark itself lacks (brief: "as-of join, range join").
+
+    Scale design — union + ordered window, NOT a range join:
+    a join-then-filter ``l.ts >= r.ts`` inequality join is a per-key
+    cross product (10^12 × replay-history rows explodes); instead both
+    sides are unioned on the key and scanned once in timestamp order, so
+    the plan is ONE hash exchange on ``on`` plus a per-key sort —
+    identical shape to sort-merge join, no row amplification. Right rows
+    order before left rows at equal timestamps (``_side`` tie-break), so
+    the match is inclusive. Known caveat shared with every windowed
+    operator: a single hot key funnels through one task — pre-aggregate
+    the right side per (key, ts) (also required for determinism: with
+    duplicate right rows at the same key+timestamp the winner would be
+    partitioning-dependent, exactly like DuckDB/pandas ASOF).
+
+    ``value_cols`` are carried from the matched right row as-is and must
+    not collide with left column names; the matched right timestamp is
+    emitted as ``matched_ts_col``. Left rows with no match (or matched
+    outside tolerance) keep NULLs — a LEFT as-of; filter
+    ``matched_ts_col IS NOT NULL`` for the inner form.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    for c in (on, left_ts):
+        if c not in left.columns:
+            raise ValueError(f"left is missing column {c!r} (has {left.columns})")
+    for c in (on, right_ts, *value_cols):
+        if c not in right.columns:
+            raise ValueError(f"right is missing column {c!r} (has {right.columns})")
+    collisions = set(value_cols) & set(left.columns)
+    if collisions or matched_ts_col in left.columns:
+        raise ValueError(
+            f"right value columns collide with left columns: "
+            f"{sorted(collisions) or [matched_ts_col]}"
+        )
+
+    left_cols = list(left.columns)
+    payload = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    r_rows = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c != on
+        ],
+    )
+    null_payload_src = right.select(payload.alias("_p")).schema["_p"].dataType
+    l_rows = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(null_payload_src).alias("_p"),
+        *[F.col(c) for c in left_cols if c != on],
+    )
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        r_rows.unionByName(l_rows)
+        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_us is not None:
+        # NULL-safe: an unmatched row has NULL _m -> NULL diff -> NULL.
+        diff = F.expr(
+            "timestampdiff(MICROSECOND, CAST(_m._rts AS TIMESTAMP_NTZ),"
+            " CAST(_ts AS TIMESTAMP_NTZ))"
+        )
+        if direction == "forward":
+            diff = -diff
+        filled = filled.withColumn(
+            "_m", F.when(diff <= F.lit(int(tolerance_us)), F.col("_m"))
+        )
+    return filled.select(
+        *[F.col(c) for c in left_cols],
+        F.col("_m._rts").alias(matched_ts_col),
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_ts: str = "t0",
+    end_ts: str = "t1",
+    bin_us: int = 3_600_000_000,
+    max_span_bins: int = 10_000,
+) -> DataFrame:
+    """Interval containment join: point rows joined to every interval
+    row of the same key with ``start_ts <= point_ts <= end_ts``
+    (inclusive both ends), WITHOUT an inequality join.
+
+    Scale design — temporal binning: a raw ``BETWEEN`` theta-join is a
+    BroadcastNestedLoop/cartesian per key (quadratic at 10^12 rows).
+    Instead both sides are bucketed into fixed ``bin_us`` epoch bins:
+    each interval is exploded onto every bin it overlaps
+    (``sequence(bin(t0), bin(t1))``), each point lands in exactly ONE
+    bin, and the join becomes a plain equi-join on (key, bin) followed
+    by the exact containment filter. A point joins each covering
+    interval's copy in its own bin exactly once, so no dedup pass is
+    needed. Pick ``bin_us`` near the typical interval length: one bin ≈
+    one extra copy per interval. Row amplification is bounded by
+    ``max_span_bins`` — an interval wider than that raises (executor-side
+    ``raise_error``) instead of silently exploding the build side;
+    degenerate intervals (``t1 < t0``) match nothing and are dropped.
+    Bin ids use exact integer floor division (`_floordiv_us`), so a
+    point exactly on a bin boundary bins identically on both sides.
+    """
+    for c in (on, point_ts):
+        if c not in points.columns:
+            raise ValueError(f"points is missing column {c!r} (has {points.columns})")
+    for c in (on, start_ts, end_ts):
+        if c not in intervals.columns:
+            raise ValueError(
+                f"intervals is missing column {c!r} (has {intervals.columns})"
+            )
+    if bin_us <= 0 or max_span_bins <= 0:
+        raise ValueError("bin_us and max_span_bins must be positive")
+    collisions = (set(points.columns) & set(intervals.columns)) - {on}
+    if collisions:
+        raise ValueError(f"point/interval column collision: {sorted(collisions)}")
+
+    b0 = _floordiv_us(_ntz_micros(start_ts), bin_us)
+    b1 = _floordiv_us(_ntz_micros(end_ts), bin_us)
+    span_ok = (b1 - b0) < F.lit(max_span_bins)
+    bins = F.when(
+        span_ok, F.sequence(b0, b1)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans >= {max_span_bins} bins of "
+                    f"{bin_us} us; raise bin_us or max_span_bins "
+                ),
+                F.col(start_ts).cast("string"),
+                F.lit(" .. "),
+                F.col(end_ts).cast("string"),
+            )
+        )
+    )
+    iv = intervals.filter(F.col(end_ts) >= F.col(start_ts)).withColumn(
+        "_bin", F.explode(bins)
+    )
+    pt = points.withColumn("_bin", _floordiv_us(_ntz_micros(point_ts), bin_us))
+    return (
+        pt.join(iv, [on, "_bin"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_bin")
+    )
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary over the big fact table: the
     ship-date filter is pushed to the parquet scan (literal timestamp

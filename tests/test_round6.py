@@ -400,3 +400,209 @@ def test_clusters_contract_cap_validated_eagerly(spark):
         neardup_clusters(pairs, contract_node_cap=1)
     with pytest.raises(ValueError, match="max_nodes"):
         _contract_local(pairs, "id_a", "id_b", max_nodes=1)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: asof_join + range_join (operators/relational.py)
+# ---------------------------------------------------------------------------
+
+def _temporal_case(seed: int):
+    """Seeded random (key, ts) point set + unique-per-(key,ts) right
+    rows, engineered to hit the edges: exact-tie timestamps, keys with
+    no right rows, points before any right row."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    left, right = [], []
+    seen = set()
+    for i in range(300):
+        k = rng.randrange(8)  # key 7 gets no right rows below
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 360000, 30))
+        left.append((i, k, ts))
+    for j in range(150):
+        k = rng.randrange(7)
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 360000, 30))
+        if (k, ts) in seen:  # determinism needs unique right (key, ts)
+            continue
+        seen.add((k, ts))
+        right.append((k, ts, 1000 + j))
+    # force exact ties: right rows at exactly some left timestamps
+    for i, k, ts in left[:20]:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right.append((k, ts, 2000 + i))
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tol_s", [None, 3600])
+def test_asof_join_matches_pandas_merge_asof(spark, direction, tol_s):
+    """Value parity with pandas.merge_asof (an independent
+    implementation of the same semantics: inclusive match, tolerance
+    NULLs-out rather than falls back)."""
+    import pandas as pd
+
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    left, right = _temporal_case(seed=42)
+    ldf = spark.createDataFrame(left, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, rv long")
+    out = asof_join(
+        ldf,
+        rdf,
+        on="k",
+        value_cols=("rv",),
+        tolerance_us=None if tol_s is None else tol_s * 1_000_000,
+        matched_ts_col="rts",
+        direction=direction,
+    ).toPandas()
+
+    lpd = pd.DataFrame(left, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = (
+        pd.DataFrame(right, columns=["k", "rts", "rv"]).sort_values("rts")
+    )
+    exp = pd.merge_asof(
+        lpd,
+        rpd,
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+    )
+    got = out.sort_values("lid").reset_index(drop=True)
+    exp = exp.sort_values("lid").reset_index(drop=True)
+    assert got["rts"].isna().sum() == exp["rts"].isna().sum()
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "ts", "rts", "rv"]],
+        exp[["lid", "k", "ts", "rts", "rv"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_join_validates_arguments(spark):
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    r = spark.createDataFrame([(1, t, 3)], "k long, ts timestamp, v long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="k", direction="nearest")
+    with pytest.raises(ValueError, match="missing column"):
+        asof_join(l, r, on="k", value_cols=("nope",))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, on="k", value_cols=("v",), matched_ts_col="ts")
+
+
+def test_asof_join_single_exchange(spark):
+    """The union+window shape must stay ONE hash exchange on the key —
+    the whole point over an inequality join (which would plan a
+    nested-loop per key)."""
+    import datetime as dt
+
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    r = spark.createDataFrame([(1, t, 5)], "k long, ts timestamp, v long")
+    import re
+
+    plan = plan_of(asof_join(l, r, on="k", value_cols=("v",)))
+    # formatted mode: exactly one "Exchange (n)" tree node, and it is a
+    # hash partitioning on the key (not SinglePartition / range)
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+    assert "hashpartitioning(k" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Binned equi-join == brute-force O(n*m) containment, including
+    multi-bin intervals, bin-boundary-exact points, inclusive ends and
+    degenerate (t1 < t0) intervals."""
+    import datetime as dt
+    import random
+
+    from readabilityimproved_spark.operators.relational import range_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    BIN_US = 3_600_000_000  # 1 h bins
+    pts = [
+        (i, rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(0, 200000, 10)))
+        for i in range(250)
+    ]
+    # bin-boundary-exact points (midnight + exact hours)
+    pts += [(1000 + h, 1, base + dt.timedelta(hours=h)) for h in range(6)]
+    ivs = []
+    for j in range(60):
+        t0 = base + dt.timedelta(seconds=rng.randrange(0, 200000, 10))
+        dur = rng.choice([-600, 0, 900, 3600, 4 * 3600, 11 * 3600])  # multi-bin + degenerate
+        ivs.append((j, rng.randrange(5), t0, t0 + dt.timedelta(seconds=dur)))
+    # interval with exact-boundary ends matching point 1001
+    ivs.append((100, 1, base + dt.timedelta(hours=1), base + dt.timedelta(hours=1)))
+
+    p = spark.createDataFrame(pts, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "iid long, k long, t0 timestamp, t1 timestamp")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(p, iv, on="k", bin_us=BIN_US).collect()
+    }
+    exp = {
+        (pid, iid)
+        for pid, pk, ts in pts
+        for iid, ik, t0, t1 in ivs
+        if pk == ik and t0 <= ts <= t1
+    }
+    assert got == exp
+    assert (1001, 100) in got  # inclusive on both exact boundaries
+
+
+def test_range_join_plan_and_span_guard(spark):
+    import datetime as dt
+
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.relational import range_join
+
+    base = dt.datetime(2024, 3, 1)
+    p = spark.createDataFrame([(1, 1, base)], "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, 1, base, base + dt.timedelta(days=400))],
+        "iid long, k long, t0 timestamp, t1 timestamp",
+    )
+    out = range_join(p, iv, on="k", bin_us=3_600_000_000, max_span_bins=100)
+    plan = plan_of(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # 400 days of 1h bins >= 100-bin cap -> loud executor-side error,
+    # not a silent million-row explode
+    with pytest.raises(Exception, match="range_join"):
+        out.collect()
+    # within the cap it runs
+    ok = range_join(
+        p, iv, on="k", bin_us=3_600_000_000, max_span_bins=10_000
+    ).collect()
+    assert len(ok) == 1
+
+
+def test_range_join_validates_arguments(spark):
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import range_join
+
+    base = dt.datetime(2024, 3, 1)
+    p = spark.createDataFrame([(1, 1, base)], "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, 1, base, base)], "pid long, k long, t0 timestamp, t1 timestamp"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        range_join(p, iv, on="k")  # pid on both sides
+    with pytest.raises(ValueError, match="missing column"):
+        range_join(p.drop("ts"), iv.drop("pid"), on="k")
+    with pytest.raises(ValueError, match="positive"):
+        range_join(p, iv.drop("pid"), on="k", bin_us=0)
