@@ -614,6 +614,79 @@ FROM clicks c JOIN errs e
 """
 
 
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage (SURVEY §2.7): per-event-type rollup of a
+    field extracted from the JSON ``props`` payload — all JVM-side
+    built-ins (``get_json_object`` codegens; for MANY keys from the
+    same payload, ``from_json`` once into a struct is the cheaper form,
+    one parse instead of one per key)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+def _oracle_json_props_agg() -> str:
+    # sums/count-distinct over BIGINT widen to HUGEINT in DuckDB ->
+    # cast back to Spark's widths (the driver hash is width-sensitive)
+    return """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+           AS n_distinct_k
+FROM events GROUP BY 1
+"""
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.7): ROLLUP(lang, source)."""
+    from readabilityimproved_spark.operators.relational import corpus_rollup
+
+    return corpus_rollup(_docs(spark, sf_dir))
+
+
+def _oracle_corpus_rollup() -> str:
+    return """
+SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (SURVEY §2.7): diff two deterministic
+    crawl-snapshot views of the corpus (doc_id mod filters) by md5
+    fingerprint — intersect/except over narrow (id, fp) pairs only."""
+    from readabilityimproved_spark.operators.relational import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.col("text")).alias("fp")
+    a = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", fp)
+    b = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", fp)
+    return corpus_diff(a, b)
+
+
+def _oracle_snapshot_diff() -> str:
+    return """
+WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+     b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0)
+SELECT doc_id, fp, 'both' AS status FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT doc_id, fp, 'only_old' AS status FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT doc_id, fp, 'only_new' AS status FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
 # ---------------------------------------------------------------------------
 # curation tier: training-corpus operators (operators/curation.py)
 # ---------------------------------------------------------------------------
@@ -2240,6 +2313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_incremental": q_neardup_incremental,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
+        "json_props_agg": q_json_props_agg,
+        "corpus_rollup": q_corpus_rollup,
+        "snapshot_diff": q_snapshot_diff,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2339,6 +2415,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _oracle_sessionize_events(),
         "asof_join_events": _oracle_asof_join_events(),
         "range_join_events": _oracle_range_join_events(),
+        "json_props_agg": _oracle_json_props_agg(),
+        "corpus_rollup": _oracle_corpus_rollup(),
+        "snapshot_diff": _oracle_snapshot_diff(),
         "tpch_star_rollup": _oracle_tpch_star_rollup(),
         "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),

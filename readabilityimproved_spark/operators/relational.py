@@ -361,6 +361,46 @@ def range_join(
     )
 
 
+def corpus_rollup(documents: DataFrame) -> DataFrame:
+    """Grouping-sets corpus report: doc counts and character volume per
+    (lang, source), per lang subtotal, and grand total in ONE pass —
+    ``ROLLUP`` computes all three levels from a single shuffle with
+    map-side partial aggregation (vs three separate groupBys = three
+    scans of a 10^12-row table). ``gid`` is the grouping bitmask
+    (first rollup column = most significant bit, the convention shared
+    by Spark ``grouping_id()`` and DuckDB ``GROUPING()``), which
+    disambiguates a genuinely-NULL group value from a subtotal row."""
+    return documents.rollup("lang", "source").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id", fp_col: str = "fp"
+) -> DataFrame:
+    """Set-operation snapshot diff between two corpus fingerprints:
+    rows tagged ``both`` / ``only_old`` / ``only_new`` by DISTINCT
+    intersect/except over (id, fingerprint).
+
+    Scale: callers pass (id, fingerprint) projections, never text — the
+    three set ops shuffle narrow hashes only, and Catalyst plans each
+    as an aggregate/hash-join over the pair, so the cost is three
+    exchanges over ~16-byte rows regardless of document size. Inputs
+    are expected distinct per (id, fp) (fingerprint tables are); the
+    DISTINCT semantics of intersect/subtract make the output a set
+    either way."""
+    a = old.select(id_col, fp_col)
+    b = new.select(id_col, fp_col)
+    tag = lambda df, s: df.withColumn("status", F.lit(s))  # noqa: E731
+    return (
+        tag(a.intersect(b), "both")
+        .unionByName(tag(a.subtract(b), "only_old"))
+        .unionByName(tag(b.subtract(a), "only_new"))
+    )
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary over the big fact table: the
     ship-date filter is pushed to the parquet scan (literal timestamp

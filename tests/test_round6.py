@@ -606,3 +606,41 @@ def test_range_join_validates_arguments(spark):
         range_join(p.drop("ts"), iv.drop("pid"), on="k")
     with pytest.raises(ValueError, match="positive"):
         range_join(p, iv.drop("pid"), on="k", bin_us=0)
+
+
+def test_corpus_diff_tags_set_membership(spark):
+    from readabilityimproved_spark.operators.relational import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, fp string"
+    )
+    got = {(r.doc_id, r.fp, r.status) for r in corpus_diff(old, new).collect()}
+    assert got == {
+        (2, "b", "both"),
+        (1, "a", "only_old"),
+        (3, "c", "only_old"),  # changed fingerprint = removed + added
+        (3, "CHANGED", "only_new"),
+        (4, "d", "only_new"),
+    }
+
+
+def test_corpus_rollup_levels_and_gid(spark):
+    """ROLLUP emits (lang,source), per-lang, and grand-total levels with
+    the gid bitmask disambiguating subtotal NULLs; sums are exact."""
+    from readabilityimproved_spark.operators.relational import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [("en", "web", 10), ("en", "web", 5), ("en", "book", 1), ("de", "web", 2)],
+        "lang string, source string, n_chars long",
+    )
+    rows = {
+        (r.lang, r.source, r.gid): (r.n_docs, r.sum_chars)
+        for r in corpus_rollup(docs).collect()
+    }
+    assert rows[("en", "web", 0)] == (2, 15)
+    assert rows[("en", None, 1)] == (3, 16)  # per-lang subtotal
+    assert rows[(None, None, 3)] == (4, 18)  # grand total
+    assert len(rows) == 6
