@@ -2294,10 +2294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no CORRECTNESS row), so membership ROTATES each round: the head
         # carries whatever went unverified last round plus anything new.
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
-        # no r5 row) leads, followed by the new incremental-clustering row
-        # (pytest-only until now).  The tail carries the 11 rows freshly
-        # verified in round 5 (layout/bucketed/media/streaming/tpch-late
-        # battery) plus dedup_exact (green r2-r5, trivial plan).
+        # no r5 row) leads, followed by the six NEW rows (incremental
+        # clustering, temporal joins, grouping sets / set ops / JSON).
+        # With 66 entries, 16 fall outside the 50-row window this round —
+        # ALL of them r5-verified green: the tail-11 late battery,
+        # dedup_exact (green r2-r5, trivial plan), and the five displaced
+        # by the new heads (similarity_ivf, event_window_agg,
+        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment).
+        # Rotate those five back in next round.
         # --- rows with no round-5 driver row first -------------------------
         "normalize_ws": sql_query(_normalize_ws_query),
         "comma_segments": sql_query(_comma_segments_query),
@@ -2375,7 +2379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
             kmeans_iters=_IVF_ITERS, sample_mod=_IVF_SAMPLE_MOD,
         ),
-        # --- relational / streaming-parity tier ---------------------------
+        # --- relational / streaming-parity tier (similarity_ivf above and
+        # these four sit at positions 50-54: displaced from the window by
+        # the six new-row heads; all r5-green, rotate back in round 7) -----
         "event_window_agg": q_event_window_agg,
         "sessionize_events": q_sessionize_events,
         "tpch_star_rollup": q_tpch_star_rollup,

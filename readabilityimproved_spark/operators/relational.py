@@ -153,28 +153,48 @@ def customers_without_orders(
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
-# NTZ epoch-micros idiom shared with streaming.sessionize_events_batch:
-# wall-clock micros via timestampdiff on TIMESTAMP_NTZ, so values never
-# depend on the driver session's timezone (a unix_micros(cast) detour
-# would shift events falling in a DST gap on a non-UTC session).
-_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+# Epoch-micros extraction is the type-aware shared helper
+# functions/eventtime.py: TIMESTAMP (LTZ) maps to the true instant
+# (monotonic across DST wall-clock repeats), TIMESTAMP_NTZ to its
+# session-independent wall-clock micros.
+
+# column names the temporal joins claim internally; caller columns must
+# not shadow them (a left column literally named "_ts" would otherwise
+# project twice and fail later with an opaque ambiguous-reference error)
+_TEMPORAL_RESERVED = frozenset({"_ts", "_side", "_p", "_m", "_us0", "_us1", "_bin"})
 
 
-def _ntz_micros(col: str) -> F.Column:
-    return F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, CAST({col} AS TIMESTAMP_NTZ))"
-    )
+def _check_reserved(cols, what: str) -> None:
+    hit = _TEMPORAL_RESERVED.intersection(cols)
+    if hit:
+        raise ValueError(
+            f"{what} columns {sorted(hit)} shadow internal temporal-join "
+            f"names {sorted(_TEMPORAL_RESERVED)}; rename them first"
+        )
 
 
-def _floordiv_us(us: F.Column, divisor: int) -> F.Column:
-    """Exact floor division of integer microseconds by an integer bin
-    width. ``floor(us / d)`` in DOUBLE can flip at exact bin boundaries
-    (0.5-ulp division error); subtracting ``pmod`` first makes the
-    numerator exactly divisible, so the division is exact for every
-    representable epoch and both signs (pmod is always non-negative,
-    which is precisely floor semantics for negative pre-1970 stamps)."""
-    d = F.lit(divisor)
-    return ((us - F.pmod(us, d)) / d).cast("bigint")
+def _same_ts_flavor(ldf: DataFrame, lcol: str, rdf: DataFrame, rcol: str):
+    """Both timestamp columns must be the same flavor (both LTZ or both
+    NTZ): each flavor has its own epoch convention (instant vs wall
+    time), and mixing them would compare/bin the two sides on different
+    clocks. Returns the shared dataType."""
+    lt, rt = ldf.schema[lcol].dataType, rdf.schema[rcol].dataType
+    if lt != rt:
+        raise TypeError(
+            f"timestamp flavor mismatch: {lcol} is {lt} but {rcol} is {rt};"
+            " cast one side so both are TIMESTAMP or both TIMESTAMP_NTZ"
+        )
+    return lt
+
+
+def _floordiv_bin(us_col: str, bin_us: int) -> F.Column:
+    """Exact floor division of an integer-micros COLUMN (by name) by an
+    integer bin width, entirely in BIGINT: subtracting ``pmod`` makes
+    the numerator exactly divisible (pmod is non-negative = floor
+    semantics for pre-1970 stamps), and SQL ``div`` is integer
+    division, exact at every magnitude — a DOUBLE ``floor(us/d)`` is
+    only exact below 2^53 micros (~year 2255) and can mis-bin beyond."""
+    return F.expr(f"({us_col} - pmod({us_col}, {bin_us})) div {bin_us}")
 
 
 def asof_join(
@@ -216,6 +236,12 @@ def asof_join(
     emitted as ``matched_ts_col``. Left rows with no match (or matched
     outside tolerance) keep NULLs — a LEFT as-of; filter
     ``matched_ts_col IS NOT NULL`` for the inner form.
+
+    NULL semantics match DuckDB ASOF / pandas merge_asof: right rows
+    with a NULL key or NULL timestamp can never be a match (they are
+    dropped up front — a NULL-timestamp right row would otherwise sort
+    first and leak its values into every matchless left row), and a
+    left row with a NULL key or timestamp gets a NULL match.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -231,7 +257,16 @@ def asof_join(
             f"right value columns collide with left columns: "
             f"{sorted(collisions) or [matched_ts_col]}"
         )
+    if matched_ts_col in value_cols:
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} collides with value_cols"
+        )
+    _check_reserved(left.columns, "left")
+    _check_reserved(right.columns, "right")
+    _check_reserved([matched_ts_col], "matched_ts_col")
+    ts_type = _same_ts_flavor(left, left_ts, right, right_ts)
 
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
     left_cols = list(left.columns)
     payload = F.struct(
         F.col(right_ts).alias("_rts"),
@@ -266,13 +301,24 @@ def asof_join(
         r_rows.unionByName(l_rows)
         .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
+        # a NULL-timestamp left row has no "before"/"after": no match
+        .withColumn("_m", F.when(F.col("_ts").isNotNull(), F.col("_m")))
     )
     if tolerance_us is not None:
         # NULL-safe: an unmatched row has NULL _m -> NULL diff -> NULL.
-        diff = F.expr(
-            "timestampdiff(MICROSECOND, CAST(_m._rts AS TIMESTAMP_NTZ),"
-            " CAST(_ts AS TIMESTAMP_NTZ))"
-        )
+        # Flavor-aware distance: LTZ compares true instants (immune to
+        # DST wall-clock repeats), NTZ compares wall clocks.
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(ts_type, TimestampNTZType):
+            diff = F.expr(
+                "timestampdiff(MICROSECOND, CAST(_m._rts AS TIMESTAMP_NTZ),"
+                " CAST(_ts AS TIMESTAMP_NTZ))"
+            )
+        else:
+            diff = F.unix_micros(F.col("_ts")) - F.unix_micros(
+                F.col("_m._rts")
+            )
         if direction == "forward":
             diff = -diff
         filled = filled.withColumn(
@@ -312,8 +358,13 @@ def range_join(
     ``max_span_bins`` — an interval wider than that raises (executor-side
     ``raise_error``) instead of silently exploding the build side;
     degenerate intervals (``t1 < t0``) match nothing and are dropped.
-    Bin ids use exact integer floor division (`_floordiv_us`), so a
-    point exactly on a bin boundary bins identically on both sides.
+    Bin ids use exact BIGINT floor division (`_floordiv_bin`), so a
+    point exactly on a bin boundary bins identically on both sides at
+    every epoch magnitude. Epochs are flavor-aware (`epoch_micros`):
+    LTZ columns bin by true instant (monotonic across DST wall-clock
+    repeats), NTZ by wall clock; mixing flavors across the two sides
+    raises. NULL keys, NULL timestamps and degenerate (t1 < t0)
+    intervals match nothing.
     """
     for c in (on, point_ts):
         if c not in points.columns:
@@ -328,9 +379,15 @@ def range_join(
     collisions = (set(points.columns) & set(intervals.columns)) - {on}
     if collisions:
         raise ValueError(f"point/interval column collision: {sorted(collisions)}")
+    _check_reserved(points.columns, "points")
+    _check_reserved(intervals.columns, "intervals")
+    _same_ts_flavor(points, point_ts, intervals, start_ts)
+    _same_ts_flavor(intervals, start_ts, intervals, end_ts)
 
-    b0 = _floordiv_us(_ntz_micros(start_ts), bin_us)
-    b1 = _floordiv_us(_ntz_micros(end_ts), bin_us)
+    from readabilityimproved_spark.functions.eventtime import epoch_micros
+
+    b0 = _floordiv_bin("_us0", bin_us)
+    b1 = _floordiv_bin("_us1", bin_us)
     span_ok = (b1 - b0) < F.lit(max_span_bins)
     bins = F.when(
         span_ok, F.sequence(b0, b1)
@@ -347,10 +404,18 @@ def range_join(
             )
         )
     )
-    iv = intervals.filter(F.col(end_ts) >= F.col(start_ts)).withColumn(
-        "_bin", F.explode(bins)
+    iv = (
+        intervals.filter(F.col(end_ts) >= F.col(start_ts))
+        .withColumn("_us0", epoch_micros(intervals, start_ts))
+        .withColumn("_us1", epoch_micros(intervals, end_ts))
+        .withColumn("_bin", F.explode(bins))
+        .drop("_us0", "_us1")
     )
-    pt = points.withColumn("_bin", _floordiv_us(_ntz_micros(point_ts), bin_us))
+    pt = (
+        points.withColumn("_us0", epoch_micros(points, point_ts))
+        .withColumn("_bin", _floordiv_bin("_us0", bin_us))
+        .drop("_us0")
+    )
     return (
         pt.join(iv, [on, "_bin"])
         .filter(

@@ -245,14 +245,16 @@ def sessionize_events_batch(
     # int64 event times (ns), and parquet timestamps carry us precision,
     # so a second-truncated comparison would sessionize an event landing
     # within 1s of the gap boundary differently across the three paths
-    # (stateful / batch twin / oracle). Computed on NTZ wall time via
-    # timestampdiff -- a unix_micros(cast as TIMESTAMP) detour would
-    # shift events in a DST gap on a non-UTC driver session. Only
-    # DIFFERENCES are used, so the epoch convention cancels out.
-    micros = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-        " CAST(ts AS TIMESTAMP_NTZ))"
+    # (stateful / batch twin / oracle). Computed on NTZ wall time
+    # (shared idiom: functions/eventtime.py) -- a unix_micros(cast as
+    # TIMESTAMP) detour would shift events in a DST gap on a non-UTC
+    # driver session. Only DIFFERENCES are used, so the epoch
+    # convention cancels out.
+    from readabilityimproved_spark.functions.eventtime import (
+        ntz_epoch_micros,
     )
+
+    micros = ntz_epoch_micros("ts")
     prev = F.lag(micros).over(w)
     gap_us = gap_minutes * 60 * 1_000_000
     new_s = F.when(prev.isNull() | ((micros - prev) > gap_us), 1).otherwise(0)

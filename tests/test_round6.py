@@ -644,3 +644,119 @@ def test_corpus_rollup_levels_and_gid(spark):
     assert rows[("en", None, 1)] == (3, 16)  # per-lang subtotal
     assert rows[(None, None, 3)] == (4, 18)  # grand total
     assert len(rows) == 6
+
+
+def test_asof_join_null_rows_never_match(spark):
+    """Code-review r6 regression: a NULL-timestamp right row used to
+    sort first (asc NULLS FIRST) and leak its values into every left
+    row with no real predecessor — matched_ts NULL but value_cols
+    populated. NULL right keys/timestamps must never match; NULL left
+    keys/timestamps must get a NULL match."""
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame(
+        [(1, 1, t), (2, None, t), (3, 1, None)],
+        "lid long, k long, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [(1, None, 99), (None, t, 88), (1, t - dt.timedelta(hours=1), 7)],
+        "k long, ts timestamp, v long",
+    )
+    rows = {
+        row.lid: (row.rts, row.v)
+        for row in asof_join(
+            l, r, on="k", value_cols=("v",), matched_ts_col="rts"
+        ).collect()
+    }
+    assert rows[1] == (t - dt.timedelta(hours=1), 7)  # the only real match
+    assert rows[2] == (None, None)  # NULL left key
+    assert rows[3] == (None, None)  # NULL left ts
+    # forward direction: NULL left ts must not pick up the "last" row
+    fwd = {
+        row.lid: (row.rts, row.v)
+        for row in asof_join(
+            l, r, on="k", value_cols=("v",), matched_ts_col="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[3] == (None, None)
+
+
+def test_temporal_joins_reject_reserved_and_mixed_flavors(spark):
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import (
+        asof_join,
+        range_join,
+    )
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    l_shadow = spark.createDataFrame([(1, t, 0)], "k long, ts timestamp, _side long")
+    r = spark.createDataFrame([(1, t, 5)], "k long, ts timestamp, v long")
+    r_ntz = spark.createDataFrame([(1, t, 5)], "k long, ts timestamp_ntz, v long")
+    with pytest.raises(ValueError, match="shadow internal"):
+        asof_join(l_shadow, r, on="k", value_cols=("v",))
+    with pytest.raises(TypeError, match="flavor mismatch"):
+        asof_join(l, r_ntz, on="k", value_cols=("v",))
+    with pytest.raises(ValueError, match="collides with value_cols"):
+        asof_join(l, r, on="k", value_cols=("v",), matched_ts_col="v")
+    iv = spark.createDataFrame(
+        [(1, 1, t, t)], "iid long, k long, t0 timestamp, t1 timestamp_ntz"
+    )
+    with pytest.raises(TypeError, match="flavor mismatch"):
+        range_join(l, iv, on="k", point_ts="ts")
+
+
+def test_temporal_joins_ntz_inputs(spark):
+    """Both joins must work on TIMESTAMP_NTZ columns (the engine's
+    native event-time flavor) with identical results."""
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import (
+        asof_join,
+        range_join,
+    )
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame(
+        [(1, 1, t + dt.timedelta(minutes=30))], "lid long, k long, ts timestamp_ntz"
+    )
+    r = spark.createDataFrame([(1, t, 5)], "k long, ts timestamp_ntz, v long")
+    out = asof_join(
+        l, r, on="k", value_cols=("v",), tolerance_us=3_600_000_000
+    ).collect()
+    assert out[0].v == 5 and out[0].matched_ts == t
+    iv = spark.createDataFrame(
+        [(9, 1, t, t + dt.timedelta(hours=1))],
+        "iid long, k long, t0 timestamp_ntz, t1 timestamp_ntz",
+    )
+    p = spark.createDataFrame(
+        [(1, 1, t + dt.timedelta(minutes=30))], "pid long, k long, ts timestamp_ntz"
+    )
+    assert len(range_join(p, iv, on="k").collect()) == 1
+
+
+def test_range_join_far_future_bin_boundaries_exact(spark):
+    """Code-review r6 regression: DOUBLE floor division is only exact
+    below 2^53 micros (~year 2255); BIGINT div must bin a year-9999
+    boundary point into the same bin as its covering interval."""
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import range_join
+
+    BIN_US = 3_600_000_000
+    # exact bin boundaries near the top of the timestamp range
+    base = dt.datetime(9999, 12, 30)
+    pts, ivs = [], []
+    for h in range(0, 24):
+        ts = base + dt.timedelta(hours=h)
+        pts.append((h, 1, ts))
+        ivs.append((h, 1, ts, ts))  # zero-length interval exactly at the point
+    p = spark.createDataFrame(pts, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(ivs, "iid long, k long, t0 timestamp, t1 timestamp")
+    got = {(r.pid, r.iid) for r in range_join(p, iv, on="k", bin_us=BIN_US).collect()}
+    assert got == {(h, h) for h in range(24)}
