@@ -78,3 +78,96 @@ def test_dom_roundtrip_stable(s):
     once = doc.body().html()
     doc2 = parse(once)
     assert doc2.body().html() == once
+
+
+# ---------------------------------------------------------------------------
+# temporal joins vs pure-Python references (round 6)
+# ---------------------------------------------------------------------------
+
+_TS0 = dt.datetime(2024, 3, 1)
+_ts_or_none = st.one_of(
+    st.none(), st.integers(0, 120).map(lambda s: _TS0 + dt.timedelta(seconds=s))
+)
+_key_or_none = st.one_of(st.none(), st.integers(0, 2))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(st.tuples(_key_or_none, _ts_or_none), max_size=12),
+    right=st.lists(st.tuples(_key_or_none, _ts_or_none, st.integers(0, 99)), max_size=12),
+    tol_s=st.one_of(st.none(), st.integers(0, 150)),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_python_reference(spark, left, right, tol_s, direction):
+    """Randomized parity with a brute-force as-of: NULL keys/timestamps,
+    exact ties, empty sides, tolerance boundaries, both directions."""
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    # unique right rows per (key, ts): the operator's determinism contract
+    seen, rr = set(), []
+    for k, ts, v in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rr.append((k, ts, v))
+    lrows = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rr, "k long, ts timestamp, v long")
+    tol_us = None if tol_s is None else tol_s * 1_000_000
+    got = {
+        r.lid: (r.rts, r.v)
+        for r in asof_join(
+            ldf, rdf, on="k", value_cols=("v",), matched_ts_col="rts",
+            tolerance_us=tol_us, direction=direction,
+        ).collect()
+    }
+    for lid, k, lts in lrows:
+        best = None
+        if k is not None and lts is not None:
+            for rk, rts, v in rr:
+                if rk != k or rts is None:
+                    continue
+                if direction == "backward":
+                    if rts <= lts and (best is None or rts > best[0]):
+                        best = (rts, v)
+                else:
+                    if rts >= lts and (best is None or rts < best[0]):
+                        best = (rts, v)
+            if best is not None and tol_us is not None:
+                if abs((lts - best[0]).total_seconds() * 1e6) > tol_us:
+                    best = None
+        assert got[lid] == (best or (None, None)), (lid, k, lts, rr)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    points=st.lists(st.tuples(_key_or_none, _ts_or_none), max_size=10),
+    intervals=st.lists(
+        st.tuples(_key_or_none, _ts_or_none, st.integers(-30, 90)), max_size=8
+    ),
+    bin_s=st.sampled_from([7, 30, 60]),
+)
+def test_range_join_matches_python_reference(spark, points, intervals, bin_s):
+    """Randomized parity with brute-force containment under varying bin
+    widths (sub-interval, comparable, super-interval), incl. NULLs and
+    degenerate intervals."""
+    from readabilityimproved_spark.operators.relational import range_join
+
+    prows = [(i, k, ts) for i, (k, ts) in enumerate(points)]
+    ivrows = [
+        (j, k, t0, None if t0 is None else t0 + dt.timedelta(seconds=d))
+        for j, (k, t0, d) in enumerate(intervals)
+    ]
+    p = spark.createDataFrame(prows, "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(ivrows, "iid long, k long, t0 timestamp, t1 timestamp")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(p, iv, on="k", bin_us=bin_s * 1_000_000).collect()
+    }
+    exp = {
+        (pid, iid)
+        for pid, pk, ts in prows
+        for iid, ik, t0, t1 in ivrows
+        if pk is not None and pk == ik
+        and None not in (ts, t0, t1) and t0 <= ts <= t1
+    }
+    assert got == exp
