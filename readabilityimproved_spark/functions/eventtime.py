@@ -21,9 +21,15 @@ def ntz_epoch_micros(col: str) -> Column:
     boundary. NOTE: for LTZ inputs this is the session's WALL clock —
     non-monotonic across a DST fall-back — so ordering/binning LTZ
     columns must use :func:`epoch_micros` instead, which maps LTZ to
-    the true instant."""
+    the true instant.
+
+    ``col`` is a SIMPLE column name (it is backtick-quoted, so names
+    with SQL-significant characters like ``t-0`` work; a dotted struct
+    path would be quoted whole and not resolve — project the field to a
+    top-level column first)."""
+    quoted = "`" + col.replace("`", "``") + "`"
     return F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, CAST({col} AS TIMESTAMP_NTZ))"
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, CAST({quoted} AS TIMESTAMP_NTZ))"
     )
 
 

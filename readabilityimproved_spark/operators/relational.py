@@ -160,8 +160,11 @@ def customers_without_orders(
 
 # column names the temporal joins claim internally; caller columns must
 # not shadow them (a left column literally named "_ts" would otherwise
-# project twice and fail later with an opaque ambiguous-reference error)
-_TEMPORAL_RESERVED = frozenset({"_ts", "_side", "_p", "_m", "_us0", "_us1", "_bin"})
+# project twice and fail later with an opaque ambiguous-reference error;
+# a right column named "_rts" would duplicate the payload struct field)
+_TEMPORAL_RESERVED = frozenset(
+    {"_ts", "_side", "_p", "_m", "_rts", "_mrts", "_us0", "_us1", "_bin"}
+)
 
 
 def _check_reserved(cols, what: str) -> None:
@@ -245,6 +248,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
     for c in (on, left_ts):
         if c not in left.columns:
             raise ValueError(f"left is missing column {c!r} (has {left.columns})")
@@ -307,23 +312,27 @@ def asof_join(
     if tolerance_us is not None:
         # NULL-safe: an unmatched row has NULL _m -> NULL diff -> NULL.
         # Flavor-aware distance: LTZ compares true instants (immune to
-        # DST wall-clock repeats), NTZ compares wall clocks.
+        # DST wall-clock repeats), NTZ compares wall clocks — the shared
+        # idiom (functions/eventtime.py) takes simple column names, so
+        # the matched struct field is projected to _mrts first.
         from pyspark.sql.types import TimestampNTZType
 
+        from readabilityimproved_spark.functions.eventtime import (
+            ntz_epoch_micros,
+        )
+
+        filled = filled.withColumn("_mrts", F.col("_m._rts"))
         if isinstance(ts_type, TimestampNTZType):
-            diff = F.expr(
-                "timestampdiff(MICROSECOND, CAST(_m._rts AS TIMESTAMP_NTZ),"
-                " CAST(_ts AS TIMESTAMP_NTZ))"
-            )
+            diff = ntz_epoch_micros("_ts") - ntz_epoch_micros("_mrts")
         else:
             diff = F.unix_micros(F.col("_ts")) - F.unix_micros(
-                F.col("_m._rts")
+                F.col("_mrts")
             )
         if direction == "forward":
             diff = -diff
         filled = filled.withColumn(
             "_m", F.when(diff <= F.lit(int(tolerance_us)), F.col("_m"))
-        )
+        ).drop("_mrts")
     return filled.select(
         *[F.col(c) for c in left_cols],
         F.col("_m._rts").alias(matched_ts_col),
@@ -355,9 +364,10 @@ def range_join(
     interval's copy in its own bin exactly once, so no dedup pass is
     needed. Pick ``bin_us`` near the typical interval length: one bin ≈
     one extra copy per interval. Row amplification is bounded by
-    ``max_span_bins`` — an interval wider than that raises (executor-side
-    ``raise_error``) instead of silently exploding the build side;
-    degenerate intervals (``t1 < t0``) match nothing and are dropped.
+    ``max_span_bins`` — an interval spanning MORE than that many bins
+    raises (executor-side ``raise_error``) instead of silently exploding
+    the build side; degenerate intervals (``t1 < t0``) match nothing
+    and are dropped.
     Bin ids use exact BIGINT floor division (`_floordiv_bin`), so a
     point exactly on a bin boundary bins identically on both sides at
     every epoch magnitude. Epochs are flavor-aware (`epoch_micros`):
@@ -395,8 +405,8 @@ def range_join(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"range_join: interval spans >= {max_span_bins} bins of "
-                    f"{bin_us} us; raise bin_us or max_span_bins "
+                    f"range_join: interval spans more than {max_span_bins} "
+                    f"bins of {bin_us} us; raise bin_us or max_span_bins "
                 ),
                 F.col(start_ts).cast("string"),
                 F.lit(" .. "),

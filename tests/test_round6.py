@@ -760,3 +760,43 @@ def test_range_join_far_future_bin_boundaries_exact(spark):
     iv = spark.createDataFrame(ivs, "iid long, k long, t0 timestamp, t1 timestamp")
     got = {(r.pid, r.iid) for r in range_join(p, iv, on="k", bin_us=BIN_US).collect()}
     assert got == {(h, h) for h in range(24)}
+
+
+def test_asof_join_validates_rts_shadow_and_negative_tolerance(spark):
+    """Code-review r6 round 2: a right column named _rts would duplicate
+    the payload struct field (opaque ambiguous-field analysis error),
+    and a negative tolerance silently NULLed every match."""
+    import datetime as dt
+
+    from readabilityimproved_spark.operators.relational import asof_join
+
+    t = dt.datetime(2024, 3, 1)
+    l = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    r_shadow = spark.createDataFrame(
+        [(1, t, 5)], "k long, ts timestamp, _rts long"
+    )
+    with pytest.raises(ValueError, match="shadow internal"):
+        asof_join(l, r_shadow, on="k", value_cols=("_rts",))
+    r = spark.createDataFrame([(1, t, 5)], "k long, ts timestamp, v long")
+    with pytest.raises(ValueError, match="tolerance_us"):
+        asof_join(l, r, on="k", value_cols=("v",), tolerance_us=-1)
+
+
+def test_ntz_epoch_micros_quotes_awkward_column_names(spark):
+    """The shared helper backtick-quotes its identifier: a column named
+    't-0' must not parse as subtraction (it used to silently compute
+    t - 0 for numeric t, or throw for others)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+    from readabilityimproved_spark.functions.eventtime import (
+        ntz_epoch_micros,
+    )
+
+    schema = StructType([StructField("t-0", TimestampNTZType())])
+    df = spark.createDataFrame(
+        [(dt.datetime(1970, 1, 1, 0, 0, 1),)], schema
+    )
+    assert df.select(ntz_epoch_micros("t-0").alias("us")).collect()[0].us == 1_000_000
