@@ -1180,6 +1180,43 @@ GROUP BY 1, 2
 """
 
 
+_PROFIT_PART_TYPE = "PROMO"
+
+
+def q_tpch_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped snowflake rollup over the previously-unexercised part
+    and supplier dims: the part-type filter prunes BEFORE broadcast,
+    three BroadcastHashJoins keep the fact unshuffled, one tiny final
+    exchange (operators/relational.profit_by_nation)."""
+    from readabilityimproved_spark.operators.relational import (
+        profit_by_nation,
+    )
+
+    return profit_by_nation(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        part_type=_PROFIT_PART_TYPE,
+    )
+
+
+def _oracle_tpch_profit_by_nation() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(abs(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                 * sign(l_extendedprice * (1 - l_discount))
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_shipments
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = '{_PROFIT_PART_TYPE}'
+GROUP BY 1, 2
+"""
+
+
 _BKT_BUCKETS = 8
 
 
@@ -2296,12 +2333,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 66 entries, 16 fall outside the 50-row window this round —
+        # With 67 entries, 17 fall outside the 50-row window this round —
         # ALL of them r5-verified green: the tail-11 late battery,
-        # dedup_exact (green r2-r5, trivial plan), and the five displaced
-        # by the new heads (similarity_ivf, event_window_agg,
-        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment).
-        # Rotate those five back in next round.
+        # dedup_exact (green r2-r5, trivial plan), and the six displaced
+        # by the new heads (similarity_ivf_index, similarity_ivf,
+        # event_window_agg, sessionize_events, tpch_star_rollup,
+        # tpch_topk_per_segment). Rotate those six back in next round.
         # --- rows with no round-5 driver row first -------------------------
         "normalize_ws": sql_query(_normalize_ws_query),
         "comma_segments": sql_query(_comma_segments_query),
@@ -2320,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_agg": q_json_props_agg,
         "corpus_rollup": q_corpus_rollup,
         "snapshot_diff": q_snapshot_diff,
+        "tpch_profit_by_nation": q_tpch_profit_by_nation,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2424,6 +2462,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_agg": _oracle_json_props_agg(),
         "corpus_rollup": _oracle_corpus_rollup(),
         "snapshot_diff": _oracle_snapshot_diff(),
+        "tpch_profit_by_nation": _oracle_tpch_profit_by_nation(),
         "tpch_star_rollup": _oracle_tpch_star_rollup(),
         "tpch_topk_per_segment": _oracle_tpch_topk_per_segment(),
         "tpch_customers_no_orders": _oracle_tpch_customers_no_orders(),

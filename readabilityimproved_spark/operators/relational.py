@@ -436,6 +436,49 @@ def range_join(
     )
 
 
+def profit_by_nation(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q9-shaped snowflake rollup: revenue per (supplier nation,
+    ship year) for one part type — the multi-dimension join exercising
+    the full dimension chain (part, supplier, nation).
+
+    Plan shape (pinned): the part-type filter prunes the part dim
+    BEFORE it broadcasts, then THREE BroadcastHashJoins keep the
+    10^12-row lineitem fact from ever shuffling on a join key; the only
+    exchange is the final ~(nations × years) aggregation, fed by
+    map-side partial aggregation. Revenue is summed in exact integer
+    cents (order-independent), so the result is identical at any
+    partitioning/cluster size."""
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .join(
+            F.broadcast(supplier),
+            lineitem["l_suppkey"] == supplier["s_suppkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(signed_scaled_int(disc, 100)).alias("revenue_cents"),
+            F.count("*").alias("n_shipments"),
+        )
+    )
+
+
 def corpus_rollup(documents: DataFrame) -> DataFrame:
     """Grouping-sets corpus report: doc counts and character volume per
     (lang, source), per lang subtotal, and grand total in ONE pass —

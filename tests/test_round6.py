@@ -800,3 +800,34 @@ def test_ntz_epoch_micros_quotes_awkward_column_names(spark):
         [(dt.datetime(1970, 1, 1, 0, 0, 1),)], schema
     )
     assert df.select(ntz_epoch_micros("t-0").alias("us")).collect()[0].us == 1_000_000
+
+
+def test_profit_by_nation_plan_broadcasts_all_dims(spark):
+    """The Q9-shaped snowflake must never shuffle the fact table: three
+    BroadcastHashJoins (part pruned before broadcast), and the only
+    hash exchange is the final small aggregation."""
+    import re
+
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.relational import (
+        profit_by_nation,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet")
+    out = profit_by_nation(
+        li,
+        spark.read.parquet(f"{sfd}/part.parquet"),
+        spark.read.parquet(f"{sfd}/supplier.parquet"),
+        spark.read.parquet(f"{sfd}/nation.parquet"),
+    )
+    plan = plan_of(out)
+    # formatted mode lists each node once in the tree and once in the
+    # details -- count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "hashpartitioning(n_name" in plan, plan
+    # the part-type filter reaches the part SCAN (pruned before its
+    # broadcast), not the fact side
+    assert "EqualTo(p_type,PROMO)" in plan, plan
