@@ -86,3 +86,16 @@ def test_all_queries_run_and_match_oracles(spark, entry_mod, duck):
             )
             failures.append(f"{name}: first diff at {diff}")
     assert not failures, "\n".join(failures)
+
+
+def test_every_query_is_oracle_checked(entry_mod):
+    """All contract queries currently have a DuckDB oracle — the strong
+    (rows+schema+hash) driver check. A new operator that is genuinely
+    non-SQL-expressible must be added to the allowlist here explicitly,
+    so weaker rows-only coverage is always a recorded decision, never
+    an oversight."""
+    rows_only_allowlist = set()  # nothing exempted as of round 6
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert missing <= rows_only_allowlist, (
+        f"queries without an oracle_sql entry: {sorted(missing)}"
+    )
