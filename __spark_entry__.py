@@ -1878,6 +1878,47 @@ FROM (SELECT doc_id, {case} AS url FROM documents)
 """
 
 
+def _repetition_stats_query(dialect: str) -> str:
+    """Gopher-style per-doc repetition metrics + drop flag. Deterministic
+    heavy repetition is injected into every 7th doc (same discipline as
+    the PII injection above) so the flag exercises both outcomes -- the
+    natural synth text repeats words but rarely adjacent n-grams."""
+    s = (
+        "(CASE WHEN doc_id % 7 = 0"
+        " THEN repeat(substr(text, 1, 64) || ' ', 8) ELSE text END)"
+    )
+    return f"""
+SELECT doc_id,
+       {sqlgen.dup_ngram_frac_sql(s, 1, dialect)} AS dup_word_frac,
+       {sqlgen.dup_ngram_frac_sql(s, 2, dialect)} AS dup_2gram_frac,
+       {sqlgen.dup_ngram_frac_sql(s, 3, dialect)} AS dup_3gram_frac,
+       cast({sqlgen.repetition_flag_sql(s, dialect)} as int) AS flagged
+FROM documents
+"""
+
+
+def _quality_prune_query(dialect: str) -> str:
+    """Composed doc-level quality gate: keep documents that pass the
+    length, quality-score, repetition, and language-consistency filters
+    at once -- the fused single-pass filter a training-data ingest runs
+    before any shuffle-bearing stage (all four gates are narrow per-row
+    expressions sharing one scan)."""
+    return f"""
+SELECT doc_id, n_tokens, quality, dup_2gram_frac
+FROM (SELECT doc_id,
+             cast({sqlgen.token_count_sql('text', dialect)} as int)
+                 AS n_tokens,
+             {sqlgen.quality_score_sql('text', dialect)} AS quality,
+             {sqlgen.dup_ngram_frac_sql('text', 2, dialect)}
+                 AS dup_2gram_frac,
+             {sqlgen.lang_id_sql('text', dialect)} AS lang_pred,
+             lang
+      FROM documents) t
+WHERE quality >= 0.5 AND n_tokens BETWEEN 5 AND 10000
+  AND dup_2gram_frac <= 0.75 AND lang_pred = lang
+"""
+
+
 def _rolling_hash_query(dialect: str) -> str:
     return f"""
 SELECT doc_id, cast({sqlgen.rolling_hash_sql('text', dialect)} as bigint)
@@ -2333,12 +2374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 67 entries, 17 fall outside the 50-row window this round —
+        # With 69 entries, 19 fall outside the 50-row window this round —
         # ALL of them r5-verified green: the tail-11 late battery,
-        # dedup_exact (green r2-r5, trivial plan), and the six displaced
-        # by the new heads (similarity_ivf_index, similarity_ivf,
-        # event_window_agg, sessionize_events, tpch_star_rollup,
-        # tpch_topk_per_segment). Rotate those six back in next round.
+        # dedup_exact (green r2-r5, trivial plan), and the eight displaced
+        # by the new heads (similarity_ann_multiprobe, embedding_neardup,
+        # similarity_ivf_index, similarity_ivf, event_window_agg,
+        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment).
+        # Rotate those eight back in next round.
         # --- rows with no round-5 driver row first -------------------------
         "normalize_ws": sql_query(_normalize_ws_query),
         "comma_segments": sql_query(_comma_segments_query),
@@ -2358,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "snapshot_diff": q_snapshot_diff,
         "tpch_profit_by_nation": q_tpch_profit_by_nation,
+        "repetition_stats": sql_query(_repetition_stats_query),
+        "quality_prune": sql_query(_quality_prune_query),
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2487,6 +2531,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_query(DUCKDB),
         "rolling_hash": _rolling_hash_query(DUCKDB),
         "url_normalize": _url_normalize_query(DUCKDB),
+        "repetition_stats": _repetition_stats_query(DUCKDB),
+        "quality_prune": _quality_prune_query(DUCKDB),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),

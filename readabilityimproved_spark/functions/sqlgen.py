@@ -345,6 +345,71 @@ PII_RULES: list[tuple[str, str]] = [
 ]
 
 
+def _tokens_lower(s: str, dialect: str) -> str:
+    """Lower-cased whitespace tokens with empties dropped (the shared
+    token alphabet for the repetition metrics; same split discipline as
+    :func:`token_count_sql`)."""
+    toks = _split(f"lower(trim({s}))", r"\s+", dialect)
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({toks}, t -> t <> '')"
+
+
+def _ngrams(w: str, n: int, dialect: str) -> str:
+    """Space-joined word n-grams of the token array ``w`` (n >= 1),
+    preserving in-row order; empty array when fewer than n tokens."""
+    if n == 1:
+        return w
+    if dialect == SPARK:
+        # transform's index is 0-based and Spark array subscripts are
+        # 0-based, so gram i spans w[i] .. w[i + n - 1]
+        tail = "".join(f", ' ', ({w})[i + {k}]" for k in range(1, n))
+        return (
+            f"transform(slice({w}, 1, greatest({_size(w, dialect)}"
+            f" - {n - 1}, 0)), (t, i) -> concat(t{tail}))"
+        )
+    # DuckDB: 1-based subscripts; generate_series(1, k) is [] for k < 1
+    joined = " || ' ' || ".join(f"({w})[i + {k}]" for k in range(n))
+    return (
+        f"[{joined} for i in"
+        f" generate_series(1, {_size(w, dialect)} - {n - 1})]"
+    )
+
+
+def dup_ngram_frac_sql(s: str, n: int, dialect: str) -> str:
+    """Gopher-style repetition metric: the fraction of word ``n``-grams
+    that are repeats of an earlier gram in the same document,
+    ``1 - distinct/total`` (0.0 when the document has no grams), rounded
+    to 4 dp. ``n=1`` measures duplicate words. Pure per-row array math:
+    no shuffle, no UDF -- the metric a 100-TB quality pass can compute
+    in the same narrow map as the rest of the scalar battery."""
+    g = _ngrams(_tokens_lower(s, dialect), n, dialect)
+    distinct_fn = "array_distinct" if dialect == SPARK else "list_distinct"
+    total = _size(g, dialect)
+    uniq = _size(f"{distinct_fn}({g})", dialect)
+    return (
+        f"round(CASE WHEN {total} = 0 THEN 0.0"
+        f" ELSE 1.0 - cast({uniq} as double) / cast({total} as double)"
+        f" END, 4)"
+    )
+
+
+#: doc-level repetition gates (Gopher table A1 spirit: drop documents
+#: dominated by repeated fragments; thresholds tuned for the synth corpus)
+REPETITION_MAX_DUP_WORD = 0.90
+REPETITION_MAX_DUP_2GRAM = 0.75
+REPETITION_MAX_DUP_3GRAM = 0.60
+
+
+def repetition_flag_sql(s: str, dialect: str) -> str:
+    """TRUE when any repetition gate trips -- the doc-level drop
+    decision derived from :func:`dup_ngram_frac_sql`."""
+    return (
+        f"({dup_ngram_frac_sql(s, 1, dialect)} > {REPETITION_MAX_DUP_WORD}"
+        f" OR {dup_ngram_frac_sql(s, 2, dialect)} > {REPETITION_MAX_DUP_2GRAM}"
+        f" OR {dup_ngram_frac_sql(s, 3, dialect)} > {REPETITION_MAX_DUP_3GRAM})"
+    )
+
+
 def redact_pii_sql(s: str, dialect: str) -> str:
     """PII redaction for training corpora: emails, 16-digit card-shaped
     runs, IPv4 addresses, and NNN-NNN-NNNN phone shapes become typed

@@ -64,6 +64,7 @@ _BR_BEFORE_P = re.compile(r"(?i)<br[^>]*>[ \t\n\x0B\f\r]*<p")  # Java \s is ASCI
 #: token skipped a rewrite the reference performs
 _PREP_NEEDLES = ("<br", "<font", "</font")
 _PEO_TAGS = frozenset(("img", "embed", "object"))
+_CLEAN_COND_TAGS = frozenset(("p", "img", "li", "input"))
 # ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
 # Java String.trim() strips chars <= U+0020 from both ends;
@@ -473,10 +474,11 @@ class ReadabilityKernel:
             if weight < 0:
                 node.remove()
             elif get_char_count(node, ",") < 10:
-                p = len(elements_by_tag(node, "p"))
-                img = len(elements_by_tag(node, "img"))
-                li = len(elements_by_tag(node, "li")) - 100
-                input_count = len(elements_by_tag(node, "input"))
+                counts = node.count_descendant_tags(_CLEAN_COND_TAGS)
+                p = counts["p"]
+                img = counts["img"]
+                li = counts["li"] - 100
+                input_count = counts["input"]
                 embed_count = 0
                 for embed in elements_by_tag(node, "embed"):
                     if not P.VIDEO.search(embed.abs_url("src")):

@@ -831,3 +831,80 @@ def test_profit_by_nation_plan_broadcasts_all_dims(spark):
     # the part-type filter reaches the part SCAN (pruned before its
     # broadcast), not the fact side
     assert "EqualTo(p_type,PROMO)" in plan, plan
+
+
+# --- repetition metrics + fused quality prune (round 6 additions) -----------
+
+REPETITION_SAMPLES = [
+    "a b a b a b",
+    "one two three",
+    "",
+    "  ",
+    "x",
+    "a a a a a a a a a a a",
+    "the quick brown fox the quick brown fox",
+    "Tab\tand  space",
+    "CASE case CaSe",  # lowercasing folds these into duplicates
+    "word " * 50,      # pathological full repetition
+    None,
+]
+
+
+def test_dup_ngram_frac_dialect_parity(spark):
+    """Spark and DuckDB renderings of the repetition metrics must agree
+    value-for-value on adversarial strings (empties, tabs, case folds,
+    NULL, pathological repetition) -- the same invariant the driver's
+    hash check enforces on the corpus, pinned here on the edge cases the
+    synth corpus doesn't contain."""
+    import duckdb
+
+    from readabilityimproved_spark.functions import sqlgen as G
+
+    df = spark.createDataFrame([(s,) for s in REPETITION_SAMPLES], "s string")
+    df.createOrReplaceTempView("rep_samples")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rep_samples(s VARCHAR)")
+    con.executemany(
+        "INSERT INTO rep_samples VALUES (?)", [(s,) for s in REPETITION_SAMPLES]
+    )
+    for n in (1, 2, 3):
+        s_expr = G.dup_ngram_frac_sql("s", n, G.SPARK)
+        d_expr = G.dup_ngram_frac_sql("s", n, G.DUCKDB)
+        got = [r[0] for r in spark.sql(f"SELECT {s_expr} FROM rep_samples").collect()]
+        want = [r[0] for r in con.execute(f"SELECT {d_expr} FROM rep_samples").fetchall()]
+        assert got == want, (n, got, want)
+    s_flag = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {G.repetition_flag_sql('s', G.SPARK)} FROM rep_samples"
+        ).collect()
+    ]
+    d_flag = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {G.repetition_flag_sql('s', G.DUCKDB)} FROM rep_samples"
+        ).fetchall()
+    ]
+    assert s_flag == d_flag, (s_flag, d_flag)
+    # the pathological full-repeat doc must trip the gate; clean prose not
+    by_sample = dict(zip(REPETITION_SAMPLES, s_flag))
+    assert by_sample["word " * 50] is True
+    assert by_sample["one two three"] is False
+
+
+def test_repetition_and_prune_queries_are_narrow_maps(spark):
+    """Both new contract queries are pure per-row expressions over one
+    scan: no Exchange may appear (at 100 TB the quality gates must ride
+    the ingest scan, never force a shuffle)."""
+    import importlib.util
+
+    from tests.test_plan_quality import plan_of
+
+    spec = importlib.util.spec_from_file_location("entry6", "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    for name in ("repetition_stats", "quality_prune"):
+        plan = plan_of(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, (name, plan[:2000])
+        assert "BatchScan" in plan or "Scan parquet" in plan, (name, plan[:500])
