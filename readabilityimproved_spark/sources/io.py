@@ -111,8 +111,12 @@ def read_html_files(
     """
     from pyspark.sql import functions as F
 
+    # _metadata.file_path, not input_file_name(): the latter is
+    # task-thread-local state that can intermittently yield '' (collapsing
+    # every doc onto one doc_id); the metadata column is plan-level and
+    # deterministic for all file sources since Spark 3.2
     raw = spark.read.text(glob, wholetext=True).withColumn(
-        "path", F.input_file_name()
+        "path", F.col("_metadata.file_path")
     )
     span = F.struct(
         F.lit("html").alias("kind"),
