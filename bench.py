@@ -235,9 +235,16 @@ def main() -> None:
         t0 = time.time()
         queries[name](spark, SF_DIR).count()
         timings[f"q_{name}"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        queries[name](spark, SF_DIR).count()
-        warm[f"q_{name}"] = round(time.time() - t0, 3)
+        # warm = best of 2: single warm reps on this host swing 2-3x
+        # inside one bench run (observed 3.6 s vs 12.9 s for the same
+        # query minutes apart with <2% steal); one retry rejects the
+        # transient window without hiding a real regression
+        warm_reps = []
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, SF_DIR).count()
+            warm_reps.append(time.time() - t0)
+        warm[f"q_{name}"] = round(min(warm_reps), 3)
         query_steal[f"q_{name}"] = _steal_pct(_t, _cpu_ticks())
     # pipeline phase LAST: its partitioned writes churn heap/page cache
     # and were inflating the cold first-run numbers of the queries above.
