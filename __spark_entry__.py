@@ -2349,6 +2349,122 @@ SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
 """
 
 
+# passage-level dedup (operators/passages.py): corpus-wide duplicated
+# n-gram runs merged to maximal per-doc spans; the Spark side groups on
+# xxhash64(gram) (longs-only shuffle), the oracle on the gram text --
+# identical output barring a 64-bit collision.
+_PASSAGE_N = 5
+
+
+def q_dup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.passages import (
+        duplicate_passage_spans,
+    )
+
+    return duplicate_passage_spans(_docs(spark, sf_dir), n=_PASSAGE_N)
+
+
+def q_passage_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.passages import (
+        strip_duplicate_passages,
+    )
+
+    return strip_duplicate_passages(_docs(spark, sf_dir), n=_PASSAGE_N).select(
+        "doc_id", "clean_text"
+    )
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.curation import (
+        token_rarity_scores,
+    )
+
+    return token_rarity_scores(_docs(spark, sf_dir))
+
+
+def _passage_spans_cte() -> str:
+    """Shared CTE chain ending in a `spans` relation (doc_id,
+    span_start, span_end) -- the recursive-free DuckDB replay of
+    duplicate_passage_spans."""
+    n = _PASSAGE_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(w) - {n} + 2)) AS pos,
+         unnest([list_aggr(w[i:i+{n}-1], 'string_agg', ' ')
+                 for i in range(1, len(w) - {n} + 2)]) AS gram
+  FROM toks
+), freq AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM grams JOIN freq USING (gram)
+), brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {n} THEN 1 ELSE 0 END AS brk
+  FROM dup
+), grps AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM brks
+), spans AS (
+  SELECT doc_id, cast(min(pos) as int) AS span_start,
+         cast(max(pos) + {n} - 1 as int) AS span_end
+  FROM grps GROUP BY doc_id, grp
+)
+"""
+
+
+def _dup_passage_spans_oracle() -> str:
+    return _passage_spans_cte() + "SELECT doc_id, span_start, span_end FROM spans"
+
+
+def _passage_dedup_text_oracle() -> str:
+    # reconstruction convention matches the Spark side: kept tokens
+    # joined by single spaces (whitespace-normalizing), every input row
+    # present even when all its tokens were stripped
+    return _passage_spans_cte() + """
+, pos_tok AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS tok
+  FROM toks
+), kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS clean_text
+  FROM pos_tok p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i BETWEEN s.span_start AND s.span_end
+  )
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def _token_rarity_oracle() -> str:
+    # integer-exact by construction: bit lengths via bin(), one exact
+    # int-sum/count division per doc -- no float accumulation order to
+    # drift between engines
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT cast(sum(cnt) as bigint) AS total FROM vocab
+)
+SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+       round(avg(length(bin(total)) - length(bin(cnt))), 6) AS rarity_bits
+FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2374,13 +2490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 69 entries, 19 fall outside the 50-row window this round —
+        # With 72 entries, 22 fall outside the 50-row window this round —
         # ALL of them r5-verified green: the tail-11 late battery,
-        # dedup_exact (green r2-r5, trivial plan), and the eight displaced
-        # by the new heads (similarity_ann_multiprobe, embedding_neardup,
+        # dedup_exact (green r2-r5, trivial plan), and the eleven displaced
+        # by the new heads (corpus_stats, inverted_index,
+        # materialize_packs, similarity_topk, similarity_ann_lsh,
+        # similarity_ann_multiprobe, embedding_neardup,
         # similarity_ivf_index, similarity_ivf, event_window_agg,
-        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment).
-        # Rotate those eight back in next round.
+        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment —
+        # whichever eleven land past position 50; see the dict order).
+        # Rotate the displaced set back in next round.
         # --- rows with no round-5 driver row first -------------------------
         "normalize_ws": sql_query(_normalize_ws_query),
         "comma_segments": sql_query(_comma_segments_query),
@@ -2402,6 +2521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_profit_by_nation": q_tpch_profit_by_nation,
         "repetition_stats": sql_query(_repetition_stats_query),
         "quality_prune": sql_query(_quality_prune_query),
+        # --- new this session: passage dedup + rarity scoring ---------------
+        "dup_passage_spans": q_dup_passage_spans,
+        "passage_dedup_text": q_passage_dedup_text,
+        "token_rarity": q_token_rarity,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2533,6 +2656,9 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_normalize_query(DUCKDB),
         "repetition_stats": _repetition_stats_query(DUCKDB),
         "quality_prune": _quality_prune_query(DUCKDB),
+        "dup_passage_spans": _dup_passage_spans_oracle(),
+        "passage_dedup_text": _passage_dedup_text_oracle(),
+        "token_rarity": _token_rarity_oracle(),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),

@@ -413,3 +413,58 @@ def pack_sequences(
             ),
         )
     )
+
+
+def token_rarity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-rarity score — the cheap, model-free stand-in
+    for the perplexity bucketing CCNet-style pipelines run with a KenLM:
+    ``(id, n_tokens, rarity_bits)`` where ``rarity_bits`` is the mean,
+    over the document's tokens, of
+
+        bitlen(total_corpus_tokens) - bitlen(corpus_count(token))
+
+    i.e. each token's -log2 unigram probability rounded DOWN to whole
+    bits (``bitlen(x) = len(bin(x))`` — pure integer math). Documents of
+    rare tokens score high (head candidates for quality review or
+    upsampling); boilerplate of stopwords scores low. The integer-bucket
+    formulation is deliberate: a float ``ln()`` pipeline is not
+    bit-portable across engines (JVM vs libm last-ulp drift), while
+    bit lengths and an exact int sum / count division are — the driver's
+    DuckDB oracle matches to the last digit by construction, not by
+    rounding luck.
+
+    Scale shape: one groupBy(token) with map-side combine builds the
+    vocab (hot stopwords absorbed by partial aggregation), the grand
+    total is ONE broadcast row, and the postings→vocab join keys on the
+    token with AQE skew handling; the final per-doc mean is a narrow
+    (id, int) aggregation. Nothing is collected to the driver and no
+    Python runs per row.
+
+    Tokenization matches the repo convention (split(trim(text), \\s+);
+    an all-whitespace document contributes one empty-string token, so
+    every input row comes back scored).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    return (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "id", (bitlen(F.col("total")) - bitlen(F.col("cnt"))).alias("rb")
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("rb"), 6).alias("rarity_bits"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "rarity_bits")
+    )

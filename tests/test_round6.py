@@ -993,3 +993,145 @@ def test_slot_prefilter_plan_shape(spark, tmp_path):
         plan,
     )
     assert sorted(semi_anti) == ["LeftAnti", "LeftSemi"], (semi_anti, plan[:3000])
+
+
+# --- passage-level dedup + token rarity (round 6, late batch) ---------------
+
+_PASSAGE_CORPUS = [
+    # grams(n=2) of d1 all reappear in d5 -> whole doc duplicated
+    ("d1", "a b c d e"),
+    # only "b c" is corpus-duplicated -> interior span
+    ("d2", "x b c y"),
+    # self-repetition within one doc counts (total occurrences >= 2)
+    ("d3", "q q q"),
+    # shorter than n -> no postings, must survive untouched
+    ("d4", "z"),
+    # three disjoint maximal spans with gaps > n between them
+    ("d5", "a b c d e k k a b w b c"),
+]
+
+
+def _passage_df(spark):
+    return spark.createDataFrame(_PASSAGE_CORPUS, "doc_id string, text string")
+
+
+def test_duplicate_passage_spans_semantics(spark):
+    """Hand-checked maximal-span semantics at n=2: overlap/adjacency
+    merge, self-repetition, short-doc guard, multi-span docs."""
+    from readabilityimproved_spark.operators.passages import (
+        duplicate_passage_spans,
+    )
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_passage_spans(_passage_df(spark), n=2).collect()
+    }
+    want = {
+        ("d1", 1, 5),
+        ("d2", 2, 3),
+        ("d3", 1, 3),
+        ("d5", 1, 5),
+        ("d5", 8, 9),
+        ("d5", 11, 12),
+    }
+    assert got == want
+
+
+def test_strip_duplicate_passages_reconstruction(spark):
+    """clean_text keeps exactly the uncovered tokens, space-joined; an
+    entirely-duplicated doc comes back EMPTY rather than disappearing,
+    and a doc with no spans keeps all tokens."""
+    from readabilityimproved_spark.operators.passages import (
+        strip_duplicate_passages,
+    )
+
+    out = strip_duplicate_passages(_passage_df(spark), n=2)
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got == {
+        "d1": "",
+        "d2": "x y",
+        "d3": "",
+        "d4": "z",
+        "d5": "k k w",
+    }
+    # every input column survives alongside clean_text
+    assert set(out.columns) == {"doc_id", "text", "clean_text"}
+
+
+def test_passage_min_count_raises_threshold(spark):
+    """min_count=3 drops grams seen only twice: d2's span vanishes and
+    d5/d1 keep only the >=3x grams ("a b" x3, "b c" x4)."""
+    from readabilityimproved_spark.operators.passages import (
+        duplicate_passage_spans,
+    )
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_passage_spans(
+            _passage_df(spark), n=2, min_count=3
+        ).collect()
+    }
+    # dup grams now: "a b" (d1:1, d5:1, d5:8), "b c" (d1:2, d2:2, d5:2,
+    # d5:11). d1 pos 1,2 -> [1,3]; d2 pos 2 -> [2,3]; d5 pos 1,2 ->
+    # [1,3], pos 8 -> [8,9], pos 11 -> [11,12].
+    assert got == {
+        ("d1", 1, 3),
+        ("d2", 2, 3),
+        ("d5", 1, 3),
+        ("d5", 8, 9),
+        ("d5", 11, 12),
+    }
+
+
+def test_passage_ops_validate_arguments(spark):
+    from readabilityimproved_spark.operators.passages import (
+        duplicate_passage_spans,
+        strip_duplicate_passages,
+    )
+
+    df = _passage_df(spark)
+    with pytest.raises(ValueError, match="n must be"):
+        duplicate_passage_spans(df, n=0)
+    with pytest.raises(ValueError, match="min_count must be"):
+        duplicate_passage_spans(df, min_count=1)
+    with pytest.raises(ValueError, match="min_count must be"):
+        strip_duplicate_passages(df, min_count=0)
+
+
+def test_passage_plans_hash_only_shuffle_no_python(spark):
+    """Scale pins: the corpus-wide frequency leg keys on xxhash64 (the
+    shuffle moves longs, never gram text), nothing goes cartesian, and
+    the reconstruction stays JVM-side (no Python eval anywhere)."""
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.passages import (
+        duplicate_passage_spans,
+        strip_duplicate_passages,
+    )
+
+    df = _passage_df(spark)
+    for out in (
+        duplicate_passage_spans(df, n=2),
+        strip_duplicate_passages(df, n=2),
+    ):
+        plan = plan_of(out)
+        assert "xxhash64" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan, plan[:2000]  # Batch/ArrowEvalPython
+
+
+def test_token_rarity_exact_values(spark):
+    """Integer-exact rarity on a hand computation: vocab a:2 b:2 c:1,
+    total 5 -> rb(a)=rb(b)=bitlen(5)-bitlen(2)=1, rb(c)=3-1=2."""
+    from readabilityimproved_spark.operators.curation import (
+        token_rarity_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "b c")], "doc_id string, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.rarity_bits)
+        for r in token_rarity_scores(df).collect()
+    }
+    assert got == {"d1": (3, 1.0), "d2": (2, 1.5)}
