@@ -2465,6 +2465,180 @@ GROUP BY doc_id
 """
 
 
+# training export (operators/export.py): deterministic global shuffle +
+# hash splits. The driver rows run mix='portable' (the 31-bit LCG both
+# engines can replay exactly); production defaults to xxhash64.
+_SHUF_SHARDS = 8
+_SHUF_SEED = 6
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 1
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.export import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"),
+        _SHUF_SHARDS,
+        seed=_SHUF_SEED,
+        mix="portable",
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.export import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        _SPLIT_FRACS,
+        seed=_SPLIT_SEED,
+        mix="portable",
+    )
+
+
+def _shuffle_shards_oracle() -> str:
+    from readabilityimproved_spark.operators.export import portable_mix_sql
+
+    mix = portable_mix_sql("doc_id", _SHUF_SEED)
+    n = _SHUF_SHARDS
+    return f"""
+WITH m AS (SELECT doc_id, {mix} AS h FROM documents)
+SELECT doc_id, cast((h * {n}) // 2147483648 as int) AS shard,
+       cast(row_number() OVER (PARTITION BY (h * {n}) // 2147483648
+                               ORDER BY h, doc_id) - 1 as int) AS pos
+FROM m
+"""
+
+
+def _hash_split_oracle() -> str:
+    from readabilityimproved_spark.operators.export import (
+        portable_mix_sql,
+        split_cutoffs,
+    )
+
+    mix = portable_mix_sql("doc_id", _SPLIT_SEED)
+    pairs = split_cutoffs(_SPLIT_FRACS)
+    whens = " ".join(
+        f"WHEN h < {hi} THEN '{name}'" for name, hi in pairs[:-1]
+    )
+    return f"""
+WITH m AS (SELECT doc_id, {mix} AS h FROM documents)
+SELECT doc_id, CASE {whens} ELSE '{pairs[-1][0]}' END AS split FROM m
+"""
+
+
+# outlink extraction (operators/links.py): constructed pages whose anchor
+# set is analytically known — k = doc_id%3+1 relative content links, one
+# nofollow external link, one fragment link; the Spark side walks the
+# real DOM, the oracle states the expected rows directly (same pattern
+# as the extraction rows).
+_LINK_BASE = "http://news.example.com/2019-06/18/story"
+
+
+def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    base = F.concat(F.lit(_LINK_BASE), did, F.lit(".html"))
+    k = (F.col("doc_id") % 3 + 1).cast("int")
+    content = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda j: F.concat(
+                F.lit('<a href="/story'),
+                did,
+                F.lit("-"),
+                j.cast("string"),
+                F.lit('.html">more '),
+                j.cast("string"),
+                F.lit("</a>"),
+            ),
+        ),
+    )
+    page = F.concat(
+        F.lit('<html><body><div class="content"><p>intro</p>'),
+        content,
+        F.lit('<a href="http://ext'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example.org/p" rel="nofollow">partner</a>'),
+        F.lit('<a href="#top">back to top</a></div></body></html>'),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            page.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    return docs.select(
+        did.alias("doc_id"), base.alias("base_uri"), spans.alias("spans")
+    )
+
+
+def q_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.links import extract_outlinks
+
+    out = extract_outlinks(_linked_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "link_no",
+        "url",
+        "anchor",
+        "rel",
+    )
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from readabilityimproved_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+    )
+
+    shaped = _linked_docs(spark, sf_dir)
+    links = extract_outlinks(shaped)
+    return host_link_graph(
+        links.join(shaped.select("doc_id", "base_uri"), "doc_id")
+    )
+
+
+def _outlink_extract_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+content AS (
+  SELECT doc_id, unnest(range(1, k + 1)) AS j, k FROM d
+)
+SELECT doc_id, cast(j - 1 as int) AS link_no,
+       'http://news.example.com/story' || doc_id || '-' || j || '.html' AS url,
+       'more ' || j AS anchor, '' AS rel
+FROM content
+UNION ALL
+SELECT doc_id, cast(k as int) AS link_no,
+       'http://ext' || (doc_id % 5) || '.example.org/p' AS url,
+       'partner' AS anchor, 'nofollow' AS rel
+FROM d
+UNION ALL
+SELECT doc_id, cast(k + 1 as int) AS link_no,
+       '{_LINK_BASE}' || doc_id || '.html#top' AS url,
+       'back to top' AS anchor, '' AS rel
+FROM d
+"""
+
+
+def _host_link_graph_oracle() -> str:
+    return """
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents)
+SELECT 'news.example.com' AS src_host, 'news.example.com' AS dst_host,
+       cast(sum(k + 1) as bigint) AS n_links
+FROM d
+UNION ALL
+SELECT 'news.example.com' AS src_host,
+       'ext' || (doc_id % 5) || '.example.org' AS dst_host,
+       cast(count(*) as bigint) AS n_links
+FROM documents GROUP BY doc_id % 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2490,16 +2664,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 72 entries, 22 fall outside the 50-row window this round —
+        # With 76 entries, 26 fall outside the 50-row window this round —
         # ALL of them r5-verified green: the tail-11 late battery,
-        # dedup_exact (green r2-r5, trivial plan), and the eleven displaced
-        # by the new heads (corpus_stats, inverted_index,
-        # materialize_packs, similarity_topk, similarity_ann_lsh,
-        # similarity_ann_multiprobe, embedding_neardup,
-        # similarity_ivf_index, similarity_ivf, event_window_agg,
-        # sessionize_events, tpch_star_rollup, tpch_topk_per_segment —
-        # whichever eleven land past position 50; see the dict order).
-        # Rotate the displaced set back in next round.
+        # dedup_exact (green r2-r5, trivial plan), and the fifteen
+        # displaced by the new heads (vocab_topk, tokens_to_ids,
+        # corpus_stats, inverted_index, materialize_packs,
+        # similarity_topk, similarity_ann_lsh, similarity_ann_multiprobe,
+        # embedding_neardup, similarity_ivf_index, similarity_ivf,
+        # event_window_agg, sessionize_events, tpch_star_rollup,
+        # tpch_topk_per_segment — whichever fifteen land past position
+        # 50; see the dict order). Rotate the displaced set back in next
+        # round.
         # --- rows with no round-5 driver row first -------------------------
         "normalize_ws": sql_query(_normalize_ws_query),
         "comma_segments": sql_query(_comma_segments_query),
@@ -2525,6 +2700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passage_spans": q_dup_passage_spans,
         "passage_dedup_text": q_passage_dedup_text,
         "token_rarity": q_token_rarity,
+        # --- new this session: training export + link graph -----------------
+        "shuffle_shards": q_shuffle_shards,
+        "hash_split": q_hash_split,
+        "outlink_extract": q_outlink_extract,
+        "host_link_graph": q_host_link_graph,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2659,6 +2839,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_passage_spans": _dup_passage_spans_oracle(),
         "passage_dedup_text": _passage_dedup_text_oracle(),
         "token_rarity": _token_rarity_oracle(),
+        "shuffle_shards": _shuffle_shards_oracle(),
+        "hash_split": _hash_split_oracle(),
+        "outlink_extract": _outlink_extract_oracle(),
+        "host_link_graph": _host_link_graph_oracle(),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),
