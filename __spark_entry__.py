@@ -2602,6 +2602,51 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain-blocklist gate over the extracted outlinks:
+    label-3 domains so individual ext hosts can be blocked."""
+    from readabilityimproved_spark.operators.links import (
+        extract_outlinks,
+        filter_blocked_domains,
+    )
+
+    links = extract_outlinks(_linked_docs(spark, sf_dir))
+    blocked = spark.createDataFrame(
+        [("ext2.example.org",), ("EXT4.example.org",)], "domain string"
+    )
+    out = filter_blocked_domains(links, blocked, labels=3, mode="drop")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "link_no",
+        "url",
+        "anchor",
+        "rel",
+    )
+
+
+def _domain_blocklist_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+content AS (
+  SELECT doc_id, unnest(range(1, k + 1)) AS j, k FROM d
+)
+SELECT doc_id, cast(j - 1 as int) AS link_no,
+       'http://news.example.com/story' || doc_id || '-' || j || '.html' AS url,
+       'more ' || j AS anchor, '' AS rel
+FROM content
+UNION ALL
+SELECT doc_id, cast(k as int) AS link_no,
+       'http://ext' || (doc_id % 5) || '.example.org/p' AS url,
+       'partner' AS anchor, 'nofollow' AS rel
+FROM d WHERE doc_id % 5 NOT IN (2, 4)
+UNION ALL
+SELECT doc_id, cast(k + 1 as int) AS link_no,
+       '{_LINK_BASE}' || doc_id || '.html#top' AS url,
+       'back to top' AS anchor, '' AS rel
+FROM d
+"""
+
+
 def _outlink_extract_oracle() -> str:
     return f"""
 WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
@@ -2705,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "outlink_extract": q_outlink_extract,
         "host_link_graph": q_host_link_graph,
+        "domain_blocklist": q_domain_blocklist,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2843,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_oracle(),
         "outlink_extract": _outlink_extract_oracle(),
         "host_link_graph": _host_link_graph_oracle(),
+        "domain_blocklist": _domain_blocklist_oracle(),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),

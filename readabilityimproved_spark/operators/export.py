@@ -78,6 +78,13 @@ def shuffle_shards(
     order (shard, pos) replays the same global order anywhere. Ties on
     the mix (hash collisions) break on the id itself, so the order is
     total and reproducible even across colliding ids.
+
+    SIZE n_shards TO THE DATA: dense in-shard positions require each
+    shard to sort within one window partition, so a shard is a
+    single-task sort — n_shards=8 over 10^12 docs means 8 tasks sorting
+    ~10^11 rows each. Pick n_shards = corpus_size / shard_size_target
+    (at trillion-doc scale that is 10^4-10^6 shards of 10^6-10^8 docs),
+    which also matches how training readers consume shards.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")

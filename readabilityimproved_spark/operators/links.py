@@ -122,3 +122,65 @@ def host_link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def registrable_domain(url_col: str, labels: int = 2) -> F.Column:
+    """The last ``labels`` dot-labels of the URL's host, lowercased —
+    the blocklist join key. With the default 2 this is the registrable
+    domain for generic TLDs (example.com); ccTLD second-level registries
+    (co.uk) need ``labels=3`` or a public-suffix table — a real PSL is a
+    data file, not an algorithm, so it is the caller's plug point.
+    Malformed URLs yield NULL."""
+    if labels < 1:
+        raise ValueError(f"labels must be >= 1, got {labels}")
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    start = F.greatest(n - F.lit(labels) + 1, F.lit(1))
+    return F.array_join(F.slice(parts, start, F.lit(labels)), ".")
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    labels: int = 2,
+    mode: str = "drop",
+) -> DataFrame:
+    """Drop (``mode='drop'``) or keep-only (``mode='keep'``) rows whose
+    URL's registrable domain appears in ``blocked`` (a one-column
+    DataFrame of domains, matched case-insensitively). Rows with an
+    unparsable URL are KEPT under 'drop' (an unparsable URL proves
+    nothing against the row) and dropped under 'keep'.
+
+    Scale shape: one narrow domain projection + ONE broadcast hash
+    anti/semi-join — the corpus never shuffles and the blocklist (even
+    millions of domains) broadcasts once per executor. This is the C4 /
+    CommonCrawl-style domain-blocklist gate as a join, not a per-row
+    regex scan over the list.
+    """
+    if mode not in ("drop", "keep"):
+        raise ValueError(f"mode must be 'drop' or 'keep', got {mode!r}")
+    if len(blocked.columns) != 1:
+        raise ValueError(
+            f"blocked must have exactly one column, got {blocked.columns}"
+        )
+    if url_col not in df.columns:
+        raise ValueError(
+            f"url column {url_col!r} not in input; columns: {df.columns}"
+        )
+    key = blocked.columns[0]
+    # no distinct(): semi/anti join semantics ignore duplicate build
+    # keys, and dropping it keeps the ENTIRE plan exchange-free apart
+    # from the broadcast itself
+    bl = blocked.select(
+        F.lower(F.trim(F.col(key))).alias("_blocked_domain")
+    )
+    tagged = df.withColumn("_dom", registrable_domain(url_col, labels))
+    how = "left_anti" if mode == "drop" else "left_semi"
+    out = tagged.join(
+        F.broadcast(bl),
+        tagged["_dom"] == F.col("_blocked_domain"),
+        how,
+    )
+    return out.drop("_dom")

@@ -1355,3 +1355,64 @@ def test_host_link_graph_parses_and_drops_unparsable(spark):
         for r in host_link_graph(links).collect()
     }
     assert got == {("a.example.com", "b.example.org"): 2}
+
+
+def test_filter_blocked_domains_suffix_and_modes(spark):
+    """Registrable-domain matching: blocking example.com drops every
+    subdomain of it but not lookalike hosts; unparsable URLs are kept
+    under 'drop' and dropped under 'keep'; mode/shape validation."""
+    from readabilityimproved_spark.operators.links import (
+        filter_blocked_domains,
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "http://www.Example.com/x"),
+            ("b", "http://example.com/y"),
+            ("c", "http://notexample.com/z"),
+            ("d", "http://safe.example.org/w"),
+            ("e", "not a url"),
+        ],
+        "id string, url string",
+    )
+    blocked = spark.createDataFrame([(" Example.COM ",)], "domain string")
+    dropped = {r.id for r in filter_blocked_domains(df, blocked).collect()}
+    assert dropped == {"c", "d", "e"}
+    kept = {
+        r.id
+        for r in filter_blocked_domains(df, blocked, mode="keep").collect()
+    }
+    assert kept == {"a", "b"}
+    with pytest.raises(ValueError, match="mode must be"):
+        filter_blocked_domains(df, blocked, mode="invert")
+    with pytest.raises(ValueError, match="exactly one column"):
+        filter_blocked_domains(df, df, mode="drop")
+    with pytest.raises(ValueError, match="url column"):
+        filter_blocked_domains(df, blocked, url_col="nope")
+    with pytest.raises(ValueError, match="labels must be"):
+        registrable_domain("url", labels=0)
+
+
+def test_filter_blocked_domains_is_broadcast_only(spark):
+    """The corpus side must never shuffle: one BroadcastHashJoin
+    (LeftAnti), zero Exchange on the probe side."""
+    import re as _re
+
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.links import (
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame([("a", "http://x.com/")], "id string, url string")
+    blocked = spark.createDataFrame([("x.com",)], "domain string")
+    plan = plan_of(filter_blocked_domains(df, blocked))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the only exchange allowed is the broadcast of the blocklist
+    bad = [
+        m
+        for m in _re.findall(r"\(\d+\) \w*Exchange\w*", plan)
+        if "Broadcast" not in m
+    ]
+    assert not bad, (bad, plan[:2000])
