@@ -2709,7 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 76 entries, 26 fall outside the 50-row window this round —
+        # With 77 entries, 27 fall outside the 50-row window this round —
         # ALL of them r5-verified green: the tail-11 late battery,
         # dedup_exact (green r2-r5, trivial plan), and the fifteen
         # displaced by the new heads (vocab_topk, tokens_to_ids,
