@@ -2624,6 +2624,87 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 incoming anchor texts per destination host — the
+    link-graph quality signal, over the analytically-known link
+    pages (same construction as outlink_extract)."""
+    from readabilityimproved_spark.operators.links import (
+        anchor_text_topk,
+        extract_outlinks,
+    )
+
+    links = extract_outlinks(_linked_docs(spark, sf_dir))
+    return anchor_text_topk(links, k=3)
+
+
+def _anchor_topk_oracle() -> str:
+    return """
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+content AS (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM d),
+links AS (
+  SELECT 'news.example.com' AS dst, 'more ' || j AS anchor FROM content
+  UNION ALL
+  SELECT 'ext' || (doc_id % 5) || '.example.org' AS dst,
+         'partner' AS anchor FROM d
+  UNION ALL
+  SELECT 'news.example.com' AS dst, 'back to top' AS anchor FROM d
+),
+agg AS (
+  SELECT dst, anchor, count(*) AS n_links FROM links GROUP BY dst, anchor
+)
+SELECT dst, anchor, n_links,
+       cast(row_number() OVER (
+         PARTITION BY dst ORDER BY n_links DESC, anchor ASC
+       ) AS int) AS rank
+FROM agg QUALIFY rank <= 3
+"""
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-wave frontier from the extracted outlinks: the crawled set
+    is the link pages themselves, so the '#top' self-links normalize
+    onto their page and drop out; content + ext links are fresh. Host
+    cap 25 exercises the per-host ranking at sf >= 0.01."""
+    from readabilityimproved_spark.operators.links import (
+        crawl_frontier,
+        extract_outlinks,
+    )
+
+    shaped = _linked_docs(spark, sf_dir)
+    links = extract_outlinks(shaped)
+    return crawl_frontier(
+        links,
+        shaped.select("base_uri"),
+        crawled_url_col="base_uri",
+        per_host_cap=25,
+    )
+
+
+def _crawl_frontier_oracle() -> str:
+    # the fragment self-link normalizes onto its (crawled) page and is
+    # anti-joined away, so only content + ext URLs reach the frontier
+    return """
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+content AS (SELECT doc_id, unnest(range(1, k + 1)) AS j FROM d),
+cand AS (
+  SELECT 'http://news.example.com/story' || doc_id || '-' || j || '.html'
+           AS url,
+         'news.example.com' AS host
+  FROM content
+  UNION ALL
+  SELECT 'http://ext' || (doc_id % 5) || '.example.org/p' AS url,
+         'ext' || (doc_id % 5) || '.example.org' AS host
+  FROM d
+),
+agg AS (SELECT url, host, count(*) AS n_inlinks FROM cand GROUP BY url, host)
+SELECT url, host, n_inlinks,
+       cast(row_number() OVER (
+         PARTITION BY host ORDER BY n_inlinks DESC, url ASC
+       ) AS int) AS rank
+FROM agg QUALIFY rank <= 25
+"""
+
+
 def _domain_blocklist_oracle() -> str:
     return f"""
 WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
@@ -2709,7 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 77 entries, 27 fall outside the 50-row window this round —
+        # With 79 entries (anchor_topk + crawl_frontier joined the head
+        # late in the round), 29 fall outside the 50-row window —
         # ALL of them r5-verified green: the tail-11 late battery,
         # dedup_exact (green r2-r5, trivial plan), and the fifteen
         # displaced by the new heads (vocab_topk, tokens_to_ids,
@@ -2751,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_extract": q_outlink_extract,
         "host_link_graph": q_host_link_graph,
         "domain_blocklist": q_domain_blocklist,
+        "anchor_topk": q_anchor_topk,
+        "crawl_frontier": q_crawl_frontier,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2890,6 +2974,8 @@ def oracle_sql() -> dict[str, str]:
         "outlink_extract": _outlink_extract_oracle(),
         "host_link_graph": _host_link_graph_oracle(),
         "domain_blocklist": _domain_blocklist_oracle(),
+        "anchor_topk": _anchor_topk_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),

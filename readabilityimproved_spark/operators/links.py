@@ -24,6 +24,15 @@ Scale shape:
   once per shuffle key regardless of how many billions of links it
   receives), so the exchange carries the DISTINCT host-pair space, not
   the edge volume.
+* `anchor_text_topk` pre-aggregates to the DISTINCT (target, anchor)
+  space before any window touches a row, then ranks through the exact
+  salted two-phase top-k (`relational.salted_topk`) so a mega-host with
+  millions of distinct anchors never funnels through one window task.
+* `crawl_frontier` reduces the edge volume to distinct canonical URLs
+  FIRST (groupBy with map-side combine), anti-joins the (possibly
+  10^12-row) crawled set on the canonical-URL key only — no page
+  payload ever rides the join — and caps the per-host output through
+  the same salted top-k.
 """
 
 from __future__ import annotations
@@ -122,6 +131,131 @@ def host_link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def anchor_text_topk(
+    outlinks: DataFrame,
+    k: int = 5,
+    by: str = "host",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(dst, anchor, n_links, rank): the ``k`` most frequent anchor
+    texts pointing at each destination — the classic link-graph quality
+    signal (incoming anchor text describes a page better than the page
+    does). ``by='host'`` aggregates targets to the lowercased URL host;
+    ``by='url'`` keeps exact URLs. Ties rank by anchor text ascending so
+    the result is deterministic. Anchors are trimmed; empty anchors
+    carry no signal and are dropped, and in host mode so are targets
+    whose host cannot be parsed (in url mode the raw URL IS the target,
+    so nothing needs parsing and every non-empty one counts).
+
+    Scale shape: one groupBy over (dst, anchor) with map-side combine
+    collapses the edge volume (billions of links into a big host) to
+    the DISTINCT pair space before any window runs, then the exact
+    salted two-phase top-k ranks per destination — a host with millions
+    of distinct anchors is ranked per (dst, salt) first, so no single
+    window task sees more than ~its salt share (cf. salted_topk).
+    """
+    from .relational import salted_topk
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if by not in ("host", "url"):
+        raise ValueError(f"by must be 'host' or 'url', got {by!r}")
+    if by == "host":
+        dst = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    else:
+        dst = F.col("url")
+    agg = (
+        outlinks.select(
+            dst.alias("dst"), F.trim(F.col("anchor")).alias("anchor")
+        )
+        .filter(
+            F.col("dst").isNotNull()
+            & (F.col("dst") != "")
+            & (F.col("anchor") != "")
+        )
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    return salted_topk(
+        agg,
+        group_col="dst",
+        order_exprs=[F.desc("n_links"), F.asc("anchor")],
+        k=k,
+        salt_key_col="anchor",
+        salt_buckets=salt_buckets,
+    )
+
+
+def crawl_frontier(
+    outlinks: DataFrame,
+    crawled: DataFrame,
+    crawled_url_col: str = "url",
+    per_host_cap: int = 1_000,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(url, host, n_inlinks, rank): the next crawl frontier — every
+    DISTINCT canonical outlink URL not already in ``crawled``, ranked
+    inside its host by in-link count (descending, URL ascending on
+    ties) and capped at ``per_host_cap`` so one mega-site cannot
+    monopolize the next wave (per-host politeness is also why the cap
+    is per HOST, not global). URLs are canonicalized with the same
+    normalization as the ``url_normalize`` scalar (fragment stripped,
+    scheme/host lowercased, default ports dropped), so ``page#section``
+    anchors collapse onto their already-crawled page and self-links
+    never re-enter the frontier.
+
+    ``crawled`` is any DataFrame carrying the fetched URL in
+    ``crawled_url_col`` (e.g. the documents table's ``base_uri``); it
+    is normalized with the same rules before the anti-join.
+
+    Scale shape: the outlink volume collapses to distinct canonical
+    URLs through ONE groupBy (map-side combine — a URL linked a billion
+    times shuffles its count partials, not a billion rows); the
+    anti-join against the 10^12-row crawled set keys on the canonical
+    URL string only (sort-merge/shuffled-hash on the URL — the crawled
+    side is far too big to broadcast, and no payload travels); the
+    per-host cap is the exact salted two-phase top-k, so giant hosts
+    never funnel one window task.
+    """
+    from ..functions.sqlgen import SPARK, url_normalize_sql
+    from .relational import salted_topk
+
+    if per_host_cap < 1:
+        raise ValueError(f"per_host_cap must be >= 1, got {per_host_cap}")
+    if crawled_url_col not in crawled.columns:
+        raise ValueError(
+            f"crawled url column {crawled_url_col!r} not in crawled; "
+            f"columns: {crawled.columns}"
+        )
+    norm = F.expr(url_normalize_sql("_u", SPARK))
+    cand = (
+        outlinks.select(F.col("url").alias("_u"))
+        .select(norm.alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+    )
+    seen = (
+        crawled.select(F.col(crawled_url_col).alias("_u"))
+        .select(norm.alias("url"))
+        .filter(F.col("url").isNotNull())
+    )
+    fresh = cand.join(seen, "url", "left_anti").withColumn(
+        "host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    )
+    # an unparsable candidate (no host) cannot be fetched: drop it here
+    # rather than hand the crawler a NULL-host partition
+    fresh = fresh.filter(F.col("host").isNotNull() & (F.col("host") != ""))
+    return salted_topk(
+        fresh,
+        group_col="host",
+        order_exprs=[F.desc("n_inlinks"), F.asc("url")],
+        k=per_host_cap,
+        salt_key_col="url",
+        salt_buckets=salt_buckets,
+    ).select("url", "host", "n_inlinks", "rank")
 
 
 def registrable_domain(url_col: str, labels: int = 2) -> F.Column:

@@ -1416,3 +1416,124 @@ def test_filter_blocked_domains_is_broadcast_only(spark):
         if "Broadcast" not in m
     ]
     assert not bad, (bad, plan[:2000])
+
+
+# --- anchor-text top-k + crawl frontier (round 6, third batch) ---------------
+
+def test_anchor_text_topk_counts_ties_and_modes(spark):
+    """Counts aggregate per (dst, anchor); ties rank anchor-ascending;
+    by='url' keeps exact targets; empty anchors and unparsable targets
+    are dropped; k/by validated eagerly."""
+    from readabilityimproved_spark.operators.links import anchor_text_topk
+
+    links = spark.createDataFrame(
+        [
+            ("d1", 0, "http://A.example.com/x", "Widgets", ""),
+            ("d2", 0, "http://a.example.com/y", "Widgets", ""),
+            ("d3", 0, "http://a.example.com/x", "Gadgets", ""),
+            ("d4", 0, "http://a.example.com/x", "  Widgets  ", ""),  # trims
+            ("d5", 0, "http://a.example.com/x", "Apparatus", ""),
+            ("d6", 0, "http://b.example.org/", "", ""),  # empty anchor
+            ("d7", 0, "mailto:someone", "no host", ""),  # unparsable dst
+        ],
+        "doc_id string, link_no int, url string, anchor string, rel string",
+    )
+    got = {
+        (r.dst, r.anchor): (r.n_links, r.rank)
+        for r in anchor_text_topk(links, k=2).collect()
+    }
+    # host mode folds case + paths: Widgets 3x, then the Apparatus /
+    # Gadgets 1x tie resolves alphabetically -> Apparatus at rank 2
+    assert got == {
+        ("a.example.com", "Widgets"): (3, 1),
+        ("a.example.com", "Apparatus"): (1, 2),
+    }
+
+    by_url = {
+        (r.dst, r.anchor): (r.n_links, r.rank)
+        for r in anchor_text_topk(links, k=1, by="url").collect()
+    }
+    assert by_url == {
+        ("http://A.example.com/x", "Widgets"): (1, 1),
+        ("http://a.example.com/x", "Apparatus"): (1, 1),  # tie: asc anchor
+        ("http://a.example.com/y", "Widgets"): (1, 1),
+        # url mode: the raw URL is the target -- no host parse, so a
+        # mailto target still counts (host mode drops it)
+        ("mailto:someone", "no host"): (1, 1),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        anchor_text_topk(links, k=0)
+    with _pytest.raises(ValueError, match="by must be"):
+        anchor_text_topk(links, by="domain")
+
+
+def test_crawl_frontier_normalizes_dedups_and_caps(spark):
+    """Fragment/port/case variants collapse onto one canonical URL;
+    already-crawled pages (under the same normalization) drop out; the
+    per-host cap keeps the highest-in-link URLs, URL-ascending on
+    ties; unparsable candidates are dropped; args validated."""
+    from readabilityimproved_spark.operators.links import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            # three variants of one URL -> n_inlinks 3
+            ("d1", 0, "http://News.example.com:80/a.html#s1", "x", ""),
+            ("d2", 0, "http://news.example.com/a.html#s2", "x", ""),
+            ("d3", 0, "http://news.example.com/a.html", "x", ""),
+            # two singles on the same host (tie -> url asc)
+            ("d1", 1, "http://news.example.com/b.html", "x", ""),
+            ("d1", 2, "http://news.example.com/c.html", "x", ""),
+            # a crawled page, linked again via fragment -> excluded
+            ("d2", 1, "http://news.example.com/seen.html#top", "x", ""),
+            # another host, survives independently of the cap
+            ("d3", 1, "https://Other.example.org:443/p", "x", ""),
+            # unparsable: no host after normalization
+            ("d3", 2, "not a url", "x", ""),
+        ],
+        "doc_id string, link_no int, url string, anchor string, rel string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://NEWS.example.com:80/seen.html",)], "page string"
+    )
+    got = {
+        r.url: (r.host, r.n_inlinks, r.rank)
+        for r in crawl_frontier(
+            links, crawled, crawled_url_col="page", per_host_cap=2
+        ).collect()
+    }
+    assert got == {
+        "http://news.example.com/a.html": ("news.example.com", 3, 1),
+        "http://news.example.com/b.html": ("news.example.com", 1, 2),
+        # c.html lost the tie at rank 3 -> capped away
+        "https://other.example.org/p": ("other.example.org", 1, 1),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_host_cap"):
+        crawl_frontier(links, crawled, crawled_url_col="page", per_host_cap=0)
+    with _pytest.raises(ValueError, match="crawled url column"):
+        crawl_frontier(links, crawled, crawled_url_col="nope")
+
+
+def test_crawl_frontier_plan_no_broadcast_of_crawled_payload(spark):
+    """The anti-join must key on the canonical URL only and must never
+    degenerate to a nested-loop/cartesian; the candidate side
+    pre-aggregates (partial count) before its exchange."""
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.links import crawl_frontier
+
+    links = spark.createDataFrame(
+        [("d1", 0, "http://x.example.com/a", "x", "")],
+        "doc_id string, link_no int, url string, anchor string, rel string",
+    )
+    crawled = spark.createDataFrame([("http://x.example.com/",)], "url string")
+    plan = plan_of(crawl_frontier(links, crawled))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    # map-side combine: a partial count precedes the url exchange
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        plan[:3000]
+    )
