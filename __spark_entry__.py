@@ -2705,6 +2705,76 @@ FROM agg QUALIFY rank <= 25
 """
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 4
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the analytically-known host link graph
+    (news.example.com self-loop + the five dangling ext hosts), fixed
+    4 iterations at damping 0.85. Final ranks round to 6 dp so the
+    value hash is robust to float accumulation order across engines
+    (double discrepancy is ~1e-16; the repo-wide round(...,6) rule)."""
+    from readabilityimproved_spark.operators.links import (
+        extract_outlinks,
+        host_link_graph,
+        host_pagerank,
+    )
+
+    shaped = _linked_docs(spark, sf_dir)
+    links = extract_outlinks(shaped)
+    edges = host_link_graph(
+        links.join(shaped.select("doc_id", "base_uri"), "doc_id")
+    )
+    pr = host_pagerank(edges, damping=_PR_DAMPING, iterations=_PR_ITERS)
+    return pr.select("host", F.round("pr", 6).alias("pr"))
+
+
+def _host_pagerank_oracle() -> str:
+    # the same fixed-round power method, unrolled: pr{i} is one
+    # iteration over pr{i-1} (contrib join + uniform dangling mass)
+    d = _PR_DAMPING
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"pr{i - 1}"
+        steps.append(f"""pr{i} AS (
+  SELECT nd.host,
+         ({1.0 - d:.17g}) / (SELECT n FROM nn)
+         + {d:.17g} * (coalesce(c.contrib, 0)
+                + (SELECT coalesce(sum(p.pr), 0) FROM {prev} p
+                   WHERE p.host NOT IN (SELECT src FROM trans))
+                  / (SELECT n FROM nn)) AS pr
+  FROM nodes nd
+  LEFT JOIN (SELECT t.dst AS host, sum(p.pr * t.w) AS contrib
+             FROM trans t JOIN {prev} p ON p.host = t.src
+             GROUP BY t.dst) c USING (host)
+)""")
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
+edges AS (
+  SELECT 'news.example.com' AS src, 'news.example.com' AS dst,
+         cast(sum(k + 1) as double) AS w
+  FROM d
+  UNION ALL
+  SELECT 'news.example.com' AS src,
+         'ext' || (doc_id % 5) || '.example.org' AS dst,
+         cast(count(*) as double) AS w
+  FROM documents GROUP BY doc_id % 5
+),
+nodes AS (SELECT src AS host FROM edges
+          UNION SELECT dst AS host FROM edges),
+nn AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+trans AS (
+  SELECT e.src, e.dst, e.w / o.ow AS w FROM edges e JOIN outw o USING (src)
+),
+pr0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{unrolled}
+SELECT host, round(pr, 6) AS pr FROM pr{_PR_ITERS}
+"""
+
+
 def _domain_blocklist_oracle() -> str:
     return f"""
 WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS k FROM documents),
@@ -2790,11 +2860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round 6: the scalar battery (tail positions 50-59 in round 5, so
         # no r5 row) leads, followed by the six NEW rows (incremental
         # clustering, temporal joins, grouping sets / set ops / JSON).
-        # With 79 entries (anchor_topk + crawl_frontier joined the head
-        # late in the round), 29 fall outside the 50-row window —
-        # ALL of them r5-verified green: the tail-11 late battery,
-        # dedup_exact (green r2-r5, trivial plan), and the fifteen
-        # displaced by the new heads (vocab_topk, tokens_to_ids,
+        # With 80 entries (anchor_topk + crawl_frontier + host_pagerank
+        # joined the head late in the round), 30 fall outside the 50-row
+        # window — ALL of them r5-verified green: the tail-11 late
+        # battery, dedup_exact (green r2-r5, trivial plan),
+        # pack_sequences (green r5, displaced by host_pagerank), and the
+        # fifteen displaced by the new heads (vocab_topk, tokens_to_ids,
         # corpus_stats, inverted_index, materialize_packs,
         # similarity_topk, similarity_ann_lsh, similarity_ann_multiprobe,
         # embedding_neardup, similarity_ivf_index, similarity_ivf,
@@ -2835,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "anchor_topk": q_anchor_topk,
         "crawl_frontier": q_crawl_frontier,
+        "host_pagerank": q_host_pagerank,
         # --- DOM extraction (SURVEY.md §2.2-2.5, hash-checked oracle) ----
         "extract_article_spans": q_extract_article_spans,
         "extract_text_variant": q_extract_text_variant,
@@ -2976,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_blocklist": _domain_blocklist_oracle(),
         "anchor_topk": _anchor_topk_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
         "decontaminate": _oracle_decontaminate(),
         "keep_per_source": _oracle_keep_per_source(),
         "pack_sequences": _oracle_pack_sequences(),

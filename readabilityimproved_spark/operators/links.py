@@ -28,6 +28,11 @@ Scale shape:
   space before any window touches a row, then ranks through the exact
   salted two-phase top-k (`relational.salted_topk`) so a mega-host with
   millions of distinct anchors never funnels through one window task.
+* `host_pagerank` iterates the canonical O(E)-per-round distributed
+  power method over the host-pair table: one equi-join + one partially
+  aggregated groupBy per round, a once-built lazily-checkpointed
+  transition table, dangling mass as a broadcast one-row aggregate, and
+  a single driver action (the node count) for the whole fixed-round job.
 * `crawl_frontier` reduces the edge volume to distinct canonical URLs
   FIRST (groupBy with map-side combine), anti-joins the (possibly
   10^12-row) crawled set on the canonical-URL key only — no page
@@ -256,6 +261,142 @@ def crawl_frontier(
         salt_key_col="url",
         salt_buckets=salt_buckets,
     ).select("url", "host", "n_inlinks", "rank")
+
+
+def host_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = "n_links",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(host, pr): PageRank over the host link graph after a FIXED
+    number of synchronous power-method rounds — the crawl-scheduling /
+    per-host quality prior that `host_link_graph`'s edges feed. Edges
+    are weighted by ``weight_col`` (link multiplicity; pass ``None`` to
+    count each distinct host pair once); a host's rank flows to its
+    targets in proportion to edge weight. Dangling hosts (in-links
+    only — the frontier's unfetched hosts always are) redistribute
+    their mass uniformly, so ``sum(pr) == 1`` holds every round.
+    Fixed ``iterations`` rather than an epsilon test keeps the result
+    deterministic and the job a SINGLE action — convergence probing
+    would cost a driver action per round for a quantity the caller of
+    a scheduling prior rarely needs exactly.
+
+    Scale shape: the transition table is built once (two groupBys with
+    map-side combine over the DISTINCT host-pair space) and lazily
+    localCheckpoint-ed, so each round reuses its blocks instead of
+    recomputing the normalization. A round is ONE equi-join of the
+    rank vector with the transition table on src plus ONE groupBy(dst)
+    with partial aggregation — the canonical O(E)-per-round
+    distributed PageRank; a mega-host's million in-edges collapse
+    map-side. The dangling mass is a one-row aggregate broadcast back
+    over the node set. Each round's rank vector references the
+    previous round TWICE (contrib and dangling branches), so by
+    default every round is lazily localCheckpoint-ed
+    (``checkpoint_every=1``): both branches then read one cached
+    block set instead of doubling the plan per round. The only driver
+    action is the node count (a control-plane scalar needed for the
+    uniform prior). Executor-loss
+    durability follows the repo's localCheckpoint discipline (cf.
+    `graph.py`): a lost executor restarts the job, acceptable for a
+    fixed-round batch prior.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    for c in (src_col, dst_col) + (
+        (weight_col,) if weight_col is not None else ()
+    ):
+        if c not in edges.columns:
+            raise ValueError(
+                f"host_pagerank: column {c!r} not in edges; "
+                f"columns: {edges.columns}"
+            )
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & (F.col("src") != "")
+            & F.col("dst").isNotNull()
+            & (F.col("dst") != "")
+            & F.col("w").isNotNull()
+            & (F.col("w") > 0)
+        )
+        # parallel edges fold so the transition probability is defined
+        # per DISTINCT pair; map-side combine keeps this narrow-ish.
+        # Unweighted mode maxes the constant 1.0 instead of summing it,
+        # so a duplicated pair really does count once as documented.
+        .groupBy("src", "dst")
+        .agg(
+            (F.sum("w") if weight_col is not None else F.max("w")).alias("w")
+        )
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    n = nodes.count()  # the one control-plane action (uniform prior)
+    if n == 0:
+        return spark.createDataFrame([], "host string, pr double")
+    src_set = trans.select("src").distinct().localCheckpoint(eager=False)
+    d = float(damping)
+    pr = nodes.select("host", F.lit(1.0 / n).alias("pr"))
+    for i in range(iterations):
+        contrib = (
+            trans.join(pr, trans["src"] == pr["host"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+            .withColumnRenamed("dst", "host")
+        )
+        dang = pr.join(
+            src_set, pr["host"] == src_set["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass"))
+        # build side is the ONE-row dangling aggregate: a broadcast of
+        # a single row, not a data-sized nested loop
+        pr = (
+            nodes.join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("mass") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            pr = pr.localCheckpoint(eager=False)
+    return pr
 
 
 def registrable_domain(url_col: str, labels: int = 2) -> F.Column:

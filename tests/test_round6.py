@@ -1537,3 +1537,117 @@ def test_crawl_frontier_plan_no_broadcast_of_crawled_payload(spark):
     assert "partial_count" in plan or "partial count" in plan.lower(), (
         plan[:3000]
     )
+
+
+# --- host PageRank (round 6, final batch) ------------------------------------
+
+def test_host_pagerank_matches_power_method(spark):
+    """Weighted ranks equal a pure-Python power method with uniform
+    dangling redistribution; sum(pr) == 1; unweighted mode counts each
+    distinct pair once; empty edges yield an empty frame."""
+    from readabilityimproved_spark.operators.links import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("a", "b", 1)],
+        "src_host string, dst_host string, n_links bigint",
+    )
+
+    def ref(weights, iters, d=0.85):
+        nodes = sorted({u for u, _ in weights} | {v for _, v in weights})
+        outs = {u: sum(w for (s, _), w in weights.items() if s == u)
+                for u in {s for s, _ in weights}}
+        n = len(nodes)
+        pr = {v: 1 / n for v in nodes}
+        for _ in range(iters):
+            dang = sum(pr[v] for v in nodes if v not in outs)
+            pr = {
+                v: (1 - d) / n
+                + d * (
+                    sum(pr[u] * w / outs[u]
+                        for (u, x), w in weights.items() if x == v)
+                    + dang / n
+                )
+                for v in nodes
+            }
+        return pr
+
+    # parallel (a,b) edges fold: weight 3
+    got = {r.host: r.pr
+           for r in host_pagerank(edges, iterations=6).collect()}
+    exp = ref({("a", "b"): 3, ("a", "c"): 1, ("b", "a"): 1}, 6)
+    assert got.keys() == exp.keys()
+    assert all(abs(got[k] - exp[k]) < 1e-12 for k in exp), (got, exp)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    unw = {r.host: r.pr
+           for r in host_pagerank(edges, weight_col=None,
+                                  iterations=3).collect()}
+    exp_unw = ref({("a", "b"): 1, ("a", "c"): 1, ("b", "a"): 1}, 3)
+    assert all(abs(unw[k] - exp_unw[k]) < 1e-12 for k in exp_unw)
+
+    empty = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links bigint"
+    )
+    out = host_pagerank(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["host", "pr"]
+
+
+def test_host_pagerank_drops_invalid_and_validates(spark):
+    """NULL/empty hosts and non-positive weights drop before the graph
+    builds; bad args raise eagerly with named parameters."""
+    import pytest as _pytest
+
+    from readabilityimproved_spark.operators.links import host_pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1),
+            (None, "b", 5),
+            ("a", "", 5),
+            ("a", "c", 0),     # zero weight: no edge
+            ("a", "d", None),  # null weight: no edge
+        ],
+        "src_host string, dst_host string, n_links bigint",
+    )
+    got = {r.host: r.pr for r in host_pagerank(edges, iterations=2).collect()}
+    # only a->b survives: nodes {a, b}
+    assert set(got) == {"a", "b"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    with _pytest.raises(ValueError, match="damping"):
+        host_pagerank(edges, damping=1.0)
+    with _pytest.raises(ValueError, match="iterations"):
+        host_pagerank(edges, iterations=0)
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        host_pagerank(edges, checkpoint_every=0)
+    with _pytest.raises(ValueError, match="column 'missing'"):
+        host_pagerank(edges, weight_col="missing")
+
+
+def test_host_pagerank_plan_bounded_and_no_data_nlj(spark):
+    """Lineage truncates every round (default checkpoint_every=1), so
+    the 10-iteration plan stays O(rounds) instead of doubling per
+    round; the only nested-loop build sides are the one-row dangling
+    aggregates; contrib aggregation is partial before its exchange."""
+    from tests.test_plan_quality import plan_of
+
+    from readabilityimproved_spark.operators.links import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1)],
+        "src_host string, dst_host string, n_links bigint",
+    )
+    plan10 = plan_of(host_pagerank(edges, iterations=10))
+    tree10 = plan10.split("\n\n")[0]
+    assert len(tree10.splitlines()) < 60, tree10
+    assert "CartesianProduct" not in plan10
+    assert "partial_sum" in plan10 or "partial sum" in plan10.lower(), (
+        plan10[:3000]
+    )
+    # un-checkpointed rounds double the plan: 4 rounds at
+    # checkpoint_every=4 must still stay a real plan, just bigger
+    plan4 = plan_of(host_pagerank(edges, iterations=4, checkpoint_every=4))
+    assert len(plan4.split("\n\n")[0].splitlines()) > len(
+        tree10.splitlines()
+    )
