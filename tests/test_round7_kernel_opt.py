@@ -1,0 +1,186 @@
+"""Round-7 optimization pins: the kernel hot-path rewrites must be
+bit-identical to the formulations they replaced.
+
+Each test pins one rewrite from the r07 optimization round against the
+OLD formulation stated inline (guide §1: measure, change, prove
+equivalence):
+
+  * whitespace collapse: translate + conditional space-run sub vs the
+    single ``[ \\t\\n\\f\\r]+`` regex sub
+  * comma segment counting vs ``len(java_split(...))``
+  * struct-based float32 rounding/multiply vs numpy float32 scalars
+  * ``_has_scheme`` vs ``urlparse().scheme`` truthiness
+  * ``get_elements_by_tags`` (one walk) vs per-tag walks
+  * ``Document.body()`` fast path vs the full preorder walk
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import re
+import string
+
+import numpy as np
+import pytest
+
+from readabilityimproved_spark.dom import (
+    Element,
+    TextNode,
+    _has_scheme,
+    parse,
+)
+from readabilityimproved_spark.javacompat import comma_segments, java_split
+from readabilityimproved_spark.kernel.readability import (
+    _SPACE_RUN,
+    _WS_TO_SPACE,
+    _f32,
+    _f32_mul,
+)
+
+_OLD_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
+def _old_collapse(s: str) -> str:
+    return _OLD_WS_RUN.sub(" ", s)
+
+
+def _new_collapse(s: str) -> str:
+    s = s.translate(_WS_TO_SPACE)
+    if "  " in s:
+        s = _SPACE_RUN.sub(" ", s)
+    return s
+
+
+def test_ws_collapse_equivalence():
+    rng = random.Random(7)
+    alphabet = list(" \t\n\f\r\x0b\xa0abZ，<>&")
+    cases = ["", " ", "\t\t", "a  b", "a\xa0b", "x\x0by", "\r\n" * 5]
+    for _ in range(30000):
+        cases.append("".join(rng.choices(alphabet, k=rng.randint(0, 30))))
+    for s in cases:
+        assert _old_collapse(s) == _new_collapse(s), repr(s)
+
+
+def test_comma_segments_vs_java_split():
+    def old(text: str) -> int:
+        return len(java_split(text, ",|，"))
+
+    rng = random.Random(11)
+    alphabet = ["a", ",", "，", " ", "b"]
+    for n in range(0, 6):
+        for tup in itertools.product(alphabet, repeat=n):
+            s = "".join(tup)
+            assert comma_segments(s) == old(s), repr(s)
+    for _ in range(20000):
+        s = "".join(rng.choices(alphabet + ["xyz", "\n"], k=rng.randint(0, 40)))
+        assert comma_segments(s) == old(s), repr(s)
+
+
+def test_f32_struct_vs_numpy():
+    rng = random.Random(13)
+    specials = [
+        0.0, -0.0, 1.0, -1.0, float("inf"), float("-inf"), float("nan"),
+        1e-45, -1e-45, 3.4e38, 1e39, 2**31 - 1, -(2**31), 0.2, 1 / 3,
+    ]
+    vals = specials + [rng.uniform(-1e6, 1e6) for _ in range(5000)]
+    for x in vals:
+        want = float(np.float32(x))
+        got = _f32(x)
+        if want != want:  # NaN
+            assert got != got
+        else:
+            assert got == want, x
+    with np.errstate(invalid="ignore", over="ignore"):
+        for _ in range(5000):
+            a = rng.choice(vals)
+            b = rng.choice(vals)
+            want = float(np.float32(a) * np.float32(b))
+            got = _f32_mul(a, b)
+            if want != want:
+                assert got != got, (a, b)
+            else:
+                assert got == want, (a, b)
+            # float32 division through double: innocuous double rounding
+            if float(np.float32(b)) != 0.0:
+                wantd = float(np.float32(a) / np.float32(b))
+                gotd = _f32(_f32(a) / _f32(b))
+                if wantd != wantd:
+                    assert gotd != gotd, (a, b)
+                else:
+                    assert gotd == wantd, (a, b)
+
+
+def test_has_scheme_vs_urlparse():
+    from urllib.parse import urlparse
+
+    rng = random.Random(42)
+    chars = (
+        string.ascii_letters + string.digits + ":/.?#@-_+~%&= \t\n\r\x00\x1f，中"
+    )
+    cases = [
+        "http://a/b", "HTTP://X", " http://x ", "\thttp://x", "ht\ntp://x",
+        "c:\\path", "1:2", "+a:b", "a+b.c-d:e", "//x/y", "", ":", "a:",
+        ":b", "mailto:x@y", "data:image/png;base64,xx", "\x1fhttp://x\x1f",
+    ]
+    for _ in range(30000):
+        cases.append("".join(rng.choices(chars, k=rng.randint(0, 25))))
+    for s in cases:
+        try:
+            want = bool(urlparse(s).scheme)
+        except ValueError:
+            continue
+        assert _has_scheme(s) == want, repr(s)
+
+
+def _mk_tree(rng: random.Random, depth: int = 0) -> Element:
+    el = Element(rng.choice(["div", "p", "h1", "h2", "h3", "span", "ul"]))
+    for _ in range(rng.randint(0, 3 if depth < 4 else 0)):
+        if rng.random() < 0.3:
+            el.append_child(TextNode("t"))
+        else:
+            el.append_child(_mk_tree(rng, depth + 1))
+    return el
+
+
+def test_get_elements_by_tags_matches_per_tag_walks():
+    rng = random.Random(5)
+    tags = ("h1", "h2", "h3")
+    for _ in range(200):
+        root = _mk_tree(rng)
+        fused = root.get_elements_by_tags(tags)
+        # one preorder walk == the preorder-merged union of per-tag walks
+        expected = [
+            e
+            for e in root.iter_elements(include_self=False)
+            if e.tag in tags
+        ]
+        assert fused == expected
+
+
+def test_body_fast_path_matches_walk():
+    doc = parse("<html><body><div>x</div></body></html>")
+    body = doc.body()
+    assert body is not None and body.tag == "body"
+    assert body is doc.get_elements_by_tag("body", include_self=False)[0]
+    # mutated tree: body reachable only through the fallback walk
+    doc2 = parse("<div>x</div>")
+    html_el = doc2.html_el()
+    wrapper = Element("section")
+    # detach body and re-nest it under a wrapper below html
+    b = doc2.body()
+    wrapper.append_child(b)
+    html_el.append_child(wrapper)
+    assert doc2.body() is b
+
+
+def test_all_comma_inner_text_char_count():
+    from readabilityimproved_spark.kernel.readability import get_char_count
+
+    el = Element("p")
+    el.append_child(TextNode(",,,"))
+    # Java ",,,".split(",") drops every trailing empty -> length 0
+    assert get_char_count(el, ",") == 0
+    el2 = Element("p")
+    el2.append_child(TextNode("a,b,,c,"))
+    assert get_char_count(el2, ",") == len(java_split("a,b,,c,", ","))
