@@ -96,23 +96,26 @@ def strip_repeated_furniture(
 
     Normalization: lowercase, trimmed, digit runs collapsed to ``#``
     (so "Page 3" == "Page 17"). Vertical tolerance via a
-    ``floor(y0 / y_bucket)`` bucket. Detection is a per-doc groupBy on
-    (doc_id, norm, bucket) counting DISTINCT pages (map-side partial),
-    then a left-anti join back on the same doc-local key -- nothing
-    keys on corpus-global values, so giant corpora add tasks, not skew.
+    ``floor(y0 / y_bucket)`` bucket. Detection is a WINDOW count of
+    distinct pages over (doc_id, norm, bucket): one exchange on the
+    doc-local key and the filter happens in the same pass -- the
+    previous groupBy + left-anti-join-back formulation evaluated the
+    whole upstream block subtree TWICE (once per join side; Spark does
+    not reuse unmaterialized subtrees) and cost two extra exchanges.
+    Partitions key on doc-local values, never corpus-global ones, so
+    giant corpora add tasks, not skew; per-partition state is one
+    page-id set bounded by the document's own page count.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[0-9]+", "#")
     yb = F.floor(F.col("y0") / F.lit(y_bucket))
-    keyed = blocks.withColumn("_norm", norm).withColumn("_yb", yb)
-    furniture = (
-        keyed.groupBy("doc_id", "_norm", "_yb")
-        .agg(F.count_distinct("page").alias("_np"))
-        .filter(F.col("_np") >= min_pages)
-        .select("doc_id", "_norm", "_yb")
+    w = Window.partitionBy("doc_id", "_norm", "_yb")
+    return (
+        blocks.withColumn("_norm", norm)
+        .withColumn("_yb", yb)
+        .withColumn("_np", F.size(F.collect_set("page").over(w)))
+        .filter(F.col("_np") < min_pages)
+        .drop("_norm", "_yb", "_np")
     )
-    return keyed.join(
-        furniture, ["doc_id", "_norm", "_yb"], "left_anti"
-    ).drop("_norm", "_yb")
 
 
 def layout_spans(
@@ -181,9 +184,21 @@ def fake_pdf_blocks(
     multi-page documents get recurring furniture for
     strip_repeated_furniture to find; single-page ones keep it.
 
-    Pure narrow ops (split + explode bounded by token count); the
-    arithmetic is integer/half-point exact so the DuckDB oracle
-    replicates it bit-for-bit.
+    Pure narrow ops; the arithmetic is integer/half-point exact so the
+    DuckDB oracle replicates it bit-for-bit.
+
+    Plan shape: the per-block struct (geometry + text slice) is built
+    IN-ROW over ``sequence(0, nb-1)`` and footers are appended to the
+    same in-row array, so the whole table is ONE scan + ONE explode.
+    The previous formulation exploded bare block ids (each exploded row
+    dragging the full token array along, O(tokens^2/4) bytes out of the
+    Generate) and derived footers from a ``content.distinct()`` whose
+    union re-evaluated the entire content subtree a second time --
+    4 parquet scans and 20 exchanges for layout_spans, now 1 scan.
+    Row equality with that formulation is pinned in
+    tests/test_round7_layout_opt.py; only row ORDER differs (footers
+    interleave per doc instead of trailing), which no consumer observes
+    (reading_order re-sorts, the oracle compares sorted rows).
     """
     d = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -192,58 +207,66 @@ def fake_pdf_blocks(
         "nb",
         F.ceil(F.size("toks") / F.lit(float(_TOKENS_PER_BLOCK))).cast("int"),
     )
-    b = d.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("block_id"),
+    # same expressions as the exploded formulation, moved inside the
+    # transform lambda: slot/row/left arithmetic on the block index i,
+    # double literals for the geometry, int-cast double division for
+    # page and row (i >= 0, so the cast truncation matches)
+    content_structs = (
+        f"transform(sequence(0, nb - 1), i -> named_struct("
+        f"'page', cast(i / {_SLOTS_PER_PAGE} as int), "
+        f"'block_id', i, "
+        f"'x0', case when pmod(i, {_SLOTS_PER_PAGE}) = 0 then 36.0d "
+        f"  when pmod(pmod(i, {_SLOTS_PER_PAGE}) - 1, 2) = 0 then 36.0d "
+        f"  else 324.0d end, "
+        f"'y0', case when pmod(i, {_SLOTS_PER_PAGE}) = 0 then 40.0d "
+        f"  else cast(100 + cast((pmod(i, {_SLOTS_PER_PAGE}) - 1) / 2 as int)"
+        f" * 200 as double) end, "
+        f"'x1', case when pmod(i, {_SLOTS_PER_PAGE}) = 0 then 576.0d "
+        f"  when pmod(pmod(i, {_SLOTS_PER_PAGE}) - 1, 2) = 0 then 288.0d "
+        f"  else 576.0d end, "
+        f"'y1', case when pmod(i, {_SLOTS_PER_PAGE}) = 0 then 60.0d "
+        f"  else cast(280 + cast((pmod(i, {_SLOTS_PER_PAGE}) - 1) / 2 as int)"
+        f" * 200 as double) end, "
+        f"'text', array_join(slice(toks, i * {_TOKENS_PER_BLOCK} + 1, "
+        f"{_TOKENS_PER_BLOCK}), ' ')))"
     )
-    slot = F.pmod(F.col("block_id"), F.lit(_SLOTS_PER_PAGE))
-    row = ((slot - 1) / 2).cast("int")  # grid row for slots 1-6
-    left = F.pmod(slot - 1, F.lit(2)) == 0  # slots 1,3,5 left; 2,4,6 right
-    content = b.select(
-        "doc_id",
-        (F.col("block_id") / _SLOTS_PER_PAGE).cast("int").alias("page"),
-        "block_id",
-        F.when(slot == 0, F.lit(36.0))
-        .when(left, F.lit(36.0))
-        .otherwise(F.lit(324.0))
-        .alias("x0"),
-        F.when(slot == 0, F.lit(40.0))
-        .otherwise((100 + row * 200).cast("double"))
-        .alias("y0"),
-        F.when(slot == 0, F.lit(576.0))
-        .when(left, F.lit(288.0))
-        .otherwise(F.lit(576.0))
-        .alias("x1"),
-        F.when(slot == 0, F.lit(60.0))
-        .otherwise((280 + row * 200).cast("double"))
-        .alias("y1"),
-        F.array_join(
-            F.slice(
-                F.col("toks"),
-                F.col("block_id") * _TOKENS_PER_BLOCK + 1,
-                _TOKENS_PER_BLOCK,
-            ),
-            " ",
-        ).alias("text"),
-    )
-    if not with_footer:
-        return content
-    footers = (
-        content.select("doc_id", "page")
-        .distinct()
-        .select(
-            "doc_id",
-            "page",
-            (F.lit(_FOOTER_BLOCK_BASE) + F.col("page")).alias("block_id"),
-            F.lit(36.0).alias("x0"),
-            F.lit(770.0).alias("y0"),
-            F.lit(576.0).alias("x1"),
-            F.lit(790.0).alias("y1"),
-            F.concat(
-                F.lit("confidential draft p. "),
-                (F.col("page") + 1).cast("string"),
-            ).alias("text"),
+    if with_footer:
+        # the content pages are exactly 0 .. (nb-1) div SLOTS (nb >= 1
+        # whenever toks is non-null: split never returns an empty
+        # array), so the footer rows enumerate that range directly --
+        # no distinct over (and no re-evaluation of) the content rows
+        footer_structs = (
+            f"transform(sequence(0, cast((nb - 1) / {_SLOTS_PER_PAGE} as int)),"
+            f" p -> named_struct("
+            f"'page', p, "
+            f"'block_id', {_FOOTER_BLOCK_BASE} + p, "
+            f"'x0', 36.0d, 'y0', 770.0d, 'x1', 576.0d, 'y1', 790.0d, "
+            f"'text', concat('confidential draft p. ', cast(p + 1 as string))))"
         )
+        arr = f"concat({content_structs}, {footer_structs})"
+    else:
+        arr = content_structs
+    b = d.select("doc_id", F.explode(F.expr(arr)).alias("b"))
+    # the exploded formulation this replaced left block_id NULLABLE in
+    # the footer variant (the union with the lit-derived footer ids) and
+    # NON-NULL without footers; declared query schemas are compared by
+    # the driver, so both nullabilities are reproduced exactly. nullif
+    # against an impossible sentinel (content ids >= 0, footer ids >=
+    # _FOOTER_BLOCK_BASE) is the cheapest stable nullable wrapper --
+    # Spark 4 folds a when(lit(True), x) wrapper's nullability away at
+    # analysis (one int compare per row at runtime).
+    block_id = (
+        F.nullif(F.col("b.block_id"), F.lit(-1))
+        if with_footer
+        else F.col("b.block_id")
     )
-    return content.unionByName(footers)
+    return b.select(
+        "doc_id",
+        F.col("b.page").alias("page"),
+        block_id.alias("block_id"),
+        F.col("b.x0").alias("x0"),
+        F.col("b.y0").alias("y0"),
+        F.col("b.x1").alias("x1"),
+        F.col("b.y1").alias("y1"),
+        F.col("b.text").alias("text"),
+    )
