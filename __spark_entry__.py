@@ -1887,6 +1887,26 @@ def _repetition_stats_query(dialect: str) -> str:
         "(CASE WHEN doc_id % 7 = 0"
         " THEN repeat(substr(text, 1, 64) || ' ', 8) ELSE text END)"
     )
+    if dialect == SPARK:
+        # the flag gates on exactly the three (rounded) fractions
+        # already projected, so derive it from them in an outer select
+        # instead of re-rendering three more gram pipelines (the inner
+        # aliases are each referenced twice -- output + flag -- which
+        # stops CollapseProject from re-inlining the expensive exprs,
+        # so each fraction is computed ONCE per row). The DuckDB branch
+        # below is the oracle text and stays byte-identical.
+        return f"""
+SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       cast((dup_word_frac > {sqlgen.REPETITION_MAX_DUP_WORD}
+             OR dup_2gram_frac > {sqlgen.REPETITION_MAX_DUP_2GRAM}
+             OR dup_3gram_frac > {sqlgen.REPETITION_MAX_DUP_3GRAM}) as int)
+           AS flagged
+FROM (SELECT doc_id,
+             {sqlgen.dup_ngram_frac_sql(s, 1, dialect)} AS dup_word_frac,
+             {sqlgen.dup_ngram_frac_sql(s, 2, dialect)} AS dup_2gram_frac,
+             {sqlgen.dup_ngram_frac_sql(s, 3, dialect)} AS dup_3gram_frac
+      FROM documents) t
+"""
     return f"""
 SELECT doc_id,
        {sqlgen.dup_ngram_frac_sql(s, 1, dialect)} AS dup_word_frac,

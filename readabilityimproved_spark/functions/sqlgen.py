@@ -354,19 +354,37 @@ def _tokens_lower(s: str, dialect: str) -> str:
     return f"{fn}({toks}, t -> t <> '')"
 
 
+def _bind_spark(value: str, var: str, body: str) -> str:
+    """Spark-only let-binding: evaluate ``value`` ONCE per row and hand
+    it to ``body`` as the lambda variable ``var`` (1-element array
+    transform -- the same trick as dedup._bind, rendered as SQL text).
+
+    Spark performs common-subexpression elimination inside a projection
+    but NOT inside higher-order-function lambda bodies, so an array
+    expression referenced per-element in a lambda is re-evaluated for
+    every element -- e.g. a token split referenced by each gram
+    subscript re-tokenizes the document O(len^2) times (round-6 advice
+    on repetition_flag_sql). Binding makes those references free."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
 def _ngrams(w: str, n: int, dialect: str) -> str:
     """Space-joined word n-grams of the token array ``w`` (n >= 1),
     preserving in-row order; empty array when fewer than n tokens."""
     if n == 1:
         return w
     if dialect == SPARK:
-        # transform's index is 0-based and Spark array subscripts are
-        # 0-based, so gram i spans w[i] .. w[i + n - 1]
-        tail = "".join(f", ' ', ({w})[i + {k}]" for k in range(1, n))
-        return (
-            f"transform(slice({w}, 1, greatest({_size(w, dialect)}"
+        # bind the token array once (see _bind_spark): the lambda body
+        # references it per gram via subscripts, which would otherwise
+        # re-evaluate the split for every element. transform's index is
+        # 0-based and Spark array subscripts are 0-based, so gram i
+        # spans w[i] .. w[i + n - 1]
+        tail = "".join(f", ' ', __w[i + {k}]" for k in range(1, n))
+        grams = (
+            f"transform(slice(__w, 1, greatest(size(__w)"
             f" - {n - 1}, 0)), (t, i) -> concat(t{tail}))"
         )
+        return _bind_spark(w, "__w", grams)
     # DuckDB: 1-based subscripts; generate_series(1, k) is [] for k < 1
     joined = " || ' ' || ".join(f"({w})[i + {k}]" for k in range(n))
     return (
@@ -384,6 +402,15 @@ def dup_ngram_frac_sql(s: str, n: int, dialect: str) -> str:
     in the same narrow map as the rest of the scalar battery."""
     g = _ngrams(_tokens_lower(s, dialect), n, dialect)
     distinct_fn = "array_distinct" if dialect == SPARK else "list_distinct"
+    if dialect == SPARK:
+        # bind the gram array too: total/uniq reference it twice, and
+        # for n >= 2 it is itself a bound transform worth computing once
+        body = (
+            "round(CASE WHEN size(__g) = 0 THEN 0.0"
+            " ELSE 1.0 - cast(size(array_distinct(__g)) as double)"
+            " / cast(size(__g) as double) END, 4)"
+        )
+        return _bind_spark(g, "__g", body)
     total = _size(g, dialect)
     uniq = _size(f"{distinct_fn}({g})", dialect)
     return (

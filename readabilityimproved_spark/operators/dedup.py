@@ -583,10 +583,23 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash: per-token hash, bitwise majority vote.
 
-    One explode + one groupBy with 64 conditional sums -- stays entirely
-    in whole-stage codegen. portable_hash=True swaps xxhash64 for the
-    md5-slice hash (60 effective bits; bits 60-62 then sum to negative
-    and stay 0) so a DuckDB oracle can reproduce the value exactly.
+    One explode + one groupBy -- stays entirely in whole-stage codegen.
+    portable_hash=True swaps xxhash64 for the md5-slice hash (60
+    effective bits; bits 60-62 then lose every majority vote and stay
+    0) so a DuckDB oracle can reproduce the value exactly.
+
+    The per-bit majority needs 63 counters, but 63 separate sum
+    aggregates dominated both the codegen time (the bench's cold run)
+    and the per-row aggregate update. Counters for bits b and b+31 are
+    PACKED into one long (low field bits 0..30, high field bits
+    31..61), halving the aggregate count to 31 packed + 1 (bit 62) + 1
+    row count. Exactness: a per-document token count is bounded by
+    2^31 - 1 (the tokens come from split() of one JVM string, and a JVM
+    array cannot exceed Integer.MAX_VALUE elements), so the low-field
+    count can never carry into bit 31 and the packed sum stays under
+    2^62. The old +/-1 vote ``sum > 0`` is equivalent to
+    ``2 * ones_count > n`` -- pinned against the unpacked formulation
+    in tests/test_round7_dedup_opt.py.
     """
     if portable_hash:
         tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
@@ -598,16 +611,30 @@ def simhash64(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", tok_hash)
-    bit_sums = [
+    one = F.lit(1).cast("long")
+    packed_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; skip to stay positive
+            F.shiftright("h", j).bitwiseAND(one)
+            + F.shiftright("h", j + 31).bitwiseAND(one) * F.lit(1 << 31)
+        ).alias(f"p{j}")
+        for j in range(31)  # bit 63 is the sign bit; bit 62 is separate
     ]
-    agg = tokens.groupBy("id").agg(*bit_sums)
+    agg = tokens.groupBy("id").agg(
+        *packed_sums,
+        F.sum(F.shiftright("h", 62).bitwiseAND(one)).alias("p62"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    low_mask = F.lit((1 << 31) - 1)
+    n2 = F.col("n")  # majority: 2 * ones > n  <=>  old sum(+/-1) > 0
     sim = None
     for b in range(63):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        if b == 62:
+            cnt = F.col("p62")
+        elif b < 31:
+            cnt = F.col(f"p{b}").bitwiseAND(low_mask)
+        else:
+            cnt = F.shiftright(f"p{b - 31}", 31)
+        term = F.when(cnt * 2 > n2, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("long").alias("simhash"))
 
