@@ -525,6 +525,41 @@ class _TreeBuilder:
                 break
             if lt > pos:
                 self.handle_data(_unescape(s[pos:lt]))
+            # dispatch on the char after '<': an end tag / comment /
+            # decl never pays a failed start-tag regex attempt first
+            # (the fallthrough order below is unchanged, so recovery
+            # for each malformed shape is identical)
+            nxt = s[lt + 1] if lt + 1 < n else ""
+            if nxt == "/":
+                m = _T_END.match(s, lt)
+                if m is not None:
+                    self.handle_endtag(m.group(1).lower())
+                    pos = m.end()
+                    continue
+                self.handle_data("<")
+                pos = lt + 1
+                continue
+            if nxt == "!":
+                m = _T_COMMENT.match(s, lt)
+                if m is not None:
+                    self.handle_comment(m.group(0))
+                    pos = m.end()
+                    continue
+                m = _T_DECL.match(s, lt)
+                if m is not None:
+                    pos = m.end()
+                    continue
+                self.handle_data("<")
+                pos = lt + 1
+                continue
+            if nxt == "?":
+                m = _T_PI.match(s, lt)
+                if m is not None:
+                    pos = m.end()
+                    continue
+                self.handle_data("<")
+                pos = lt + 1
+                continue
             m = _T_START.match(s, lt)
             if m is not None:
                 tag = m.group(1).lower()

@@ -100,7 +100,10 @@ def _f32(x: float) -> float:
     try:
         return _f32_unpack(_f32_pack(x))[0]
     except (OverflowError, struct.error):
-        return float(np.float32(x))
+        # rare fallback only: suppress numpy's overflow warning so the
+        # saturating conversion stays as silent as Java's (float) cast
+        with np.errstate(over="ignore"):
+            return float(np.float32(x))
 
 
 def _f32_mul(a: float, b: float) -> float:
