@@ -231,13 +231,14 @@ def get_link_density(e: Element) -> float:
 def get_class_weight(e: Element, variant: P.Variant) -> int:
     """C6: class/id vs NEGATIVE/POSITIVE, +/-25 each (range -50..+50)."""
     weight = 0
-    class_name = e.class_name()
+    attrs = e.attrs  # keys are normalized lowercase at parse/set time
+    class_name = attrs.get("class", "")
     if class_name:
         if variant.negative.search(class_name):
             weight -= 25
         if variant.positive.search(class_name):
             weight += 25
-    node_id = e.id()
+    node_id = attrs.get("id", "")
     if node_id:
         if variant.negative.search(node_id):
             weight -= 25
@@ -589,19 +590,21 @@ class ReadabilityKernel:
     def _img_src(node: Element) -> str | None:
         """src resolution order: abs data-src, else abs src
         (ReadabilityForImg.java:529-534)."""
-        if node.has_attr("data-src") and node.attr("data-src"):
+        attrs = node.attrs
+        if attrs.get("data-src"):
             return node.abs_url("data-src")
-        if node.attr("src"):
+        if attrs.get("src"):
             return node.abs_url("src")
         return None
 
     def _estimate_width_and_height(self, node: Element) -> int:
         """I5 width/height bucket scoring (ReadabilityForImg.java:275-365)."""
         score = 0
-        width = node.attr("width").replace("auto", "")
-        height = node.attr("height").replace("auto", "")
+        attrs = node.attrs
+        width = attrs.get("width", "").replace("auto", "")
+        height = attrs.get("height", "").replace("auto", "")
         if not width and not height:
-            style_str = node.attr("style")
+            style_str = attrs.get("style", "")
             m = P.STYLE_WIDTH.search(style_str)
             if m:
                 if "%" in m.group():
@@ -710,15 +713,16 @@ class ReadabilityKernel:
         elif tag == "body":
             return  # body skips all attribute scoring (ReadabilityForImg.java:457-458)
 
+        attrs = node.attrs
         attr_score = 0
         attr_score += self._estimate_width_and_height(node)
-        style_attr = node.attr("style")
+        style_attr = attrs.get("style", "")
         if style_attr:
             if P.IMGPARENT_CANDIDATES.search(style_attr):
                 attr_score += 10
             if P.IMG_UNLIKELY_CANDIDATES.search(style_attr):
                 attr_score -= 200
-        align_attr = node.attr("align")
+        align_attr = attrs.get("align", "")
         if align_attr:
             if P.IMGPARENT_CANDIDATES.search(align_attr):
                 attr_score += 10
@@ -726,7 +730,7 @@ class ReadabilityKernel:
                 attr_score -= 10
         # class + " " + id: never empty thanks to the separator (reference
         # quirk, ReadabilityForImg.java:491-493) -- always evaluated
-        class_name = node.class_name() + " " + node.id()
+        class_name = attrs.get("class", "") + " " + attrs.get("id", "")
         if P.NEGATIVE_IMG.search(class_name):
             attr_score -= 15
         if P.POSITIVE_IMG.search(class_name):
@@ -781,7 +785,8 @@ class ReadabilityKernel:
         else:
             img_score -= 500
 
-        alt_attr = node.attr("alt") + node.attr("title")
+        attrs = node.attrs
+        alt_attr = attrs.get("alt", "") + attrs.get("title", "")
         if alt_attr and len(alt_attr) < 30:
             if P.NEGATIVE_IMG.search(alt_attr):
                 img_score -= 10
@@ -792,19 +797,19 @@ class ReadabilityKernel:
 
         img_score += self._estimate_width_and_height(node)
 
-        align_attr = node.attr("align")
+        align_attr = attrs.get("align", "")
         if align_attr:
             if P.IMGPARENT_CANDIDATES.search(align_attr):
                 img_score += 10
             else:
                 img_score -= 10
 
-        if node.has_attr("href") and node.attr("href"):
+        if attrs.get("href"):
             img_score -= 200
 
         # the reference's inverted style scoring, kept as-is
         # (ReadabilityForImg.java:645-655): centered -> -30, display:none -> +10
-        style_attr = node.attr("style")
+        style_attr = attrs.get("style", "")
         if style_attr and len(style_attr) < 30:
             if P.IMGPARENT_CANDIDATES.search(style_attr):
                 img_score -= 30
