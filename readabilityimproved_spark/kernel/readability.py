@@ -466,6 +466,12 @@ class ReadabilityKernel:
         return article_content
 
     # --- A1-A7 --------------------------------------------------------------
+    #: tags the prep_article passes probe; collected in ONE snapshot walk
+    _PREP_ARTICLE_TAGS = frozenset(
+        ("form", "object", "h1", "h2", "h3", "h4", "h5", "h6", "iframe",
+         "table", "ul", "div", "p")
+    )
+
     def prep_article(self, article_content: Element) -> None:
         self._clean_styles(article_content)
         # serialize only when a '<br' substring can exist (see
@@ -475,17 +481,50 @@ class ReadabilityKernel:
             killed = P.REGEX_KILL_BREAKS.sub("<br />", before)
             if killed != before:  # skip no-op reparse (see prep_document)
                 article_content.set_html(killed)
-        self._clean(article_content, "form")
-        self._clean(article_content, "object")
-        self._clean(article_content, "h1")
-        if len(elements_by_tag(article_content, "h2")) == 1:
-            self._clean(article_content, "h2")
-        self._clean(article_content, "iframe")
-        self._clean_headers(article_content)
-        self._clean_conditionally(article_content, "table")
-        self._clean_conditionally(article_content, "ul")
-        self._clean_conditionally(article_content, "div")
-        for paragraph in elements_by_tag(article_content, "p"):
+        # ONE preorder snapshot replaces the ~10 per-tag subtree walks
+        # the passes below performed (taken AFTER the kill-breaks
+        # reparse, which rebuilds the children). Equivalence: every
+        # pass only REMOVES nodes, so any element a later per-tag walk
+        # would have found is in the snapshot, and processing a node an
+        # earlier pass already detached is outcome-identical — its
+        # predicates read only its own (intact) subtree and remove() on
+        # a detached node is a no-op. The single exception is the
+        # h2 COUNT gate, which must count only still-attached h2s
+        # (the reference counts after the form/object/h1 cleans).
+        groups: dict[str, list[Element]] = {
+            t: [] for t in self._PREP_ARTICLE_TAGS
+        }
+        for el in article_content.iter_elements(include_self=False):
+            if el.tag in groups:
+                groups[el.tag].append(el)
+
+        def attached(node: Element) -> bool:
+            p = node.parent
+            while p is not None:
+                if p is article_content:
+                    return True
+                p = p.parent
+            return False
+
+        self._clean_nodes(groups["form"], "form")
+        self._clean_nodes(groups["object"], "object")
+        self._clean_nodes(groups["h1"], "h1")
+        if sum(1 for h in groups["h2"] if attached(h)) == 1:
+            self._clean_nodes(groups["h2"], "h2")
+        self._clean_nodes(groups["iframe"], "iframe")
+        # A4 header cleaning over the h1..h6 snapshot lists concatenated
+        # per level — the same level-then-preorder order the original
+        # per-level walks produced
+        for header in self._merge_preorder(groups, self._HEADER_TAGS):
+            if (
+                get_class_weight(header, self.variant) < 0
+                or get_link_density(header) > F033
+            ):
+                header.remove()
+        self._clean_conditionally_nodes(groups["table"], "table")
+        self._clean_conditionally_nodes(groups["ul"], "ul")
+        self._clean_conditionally_nodes(groups["div"], "div")
+        for paragraph in groups["p"]:
             # one walk for all three counts (was 3 subtree traversals)
             counts = paragraph.count_descendant_tags(_PEO_TAGS)
             if (
@@ -501,6 +540,18 @@ class ReadabilityKernel:
             debreaked = _BR_BEFORE_P.sub("<p", before)
             if debreaked != before:  # skip no-op reparse (see prep_document)
                 article_content.set_html(debreaked)
+
+    @staticmethod
+    def _merge_preorder(
+        groups: dict[str, list["Element"]], tags: tuple
+    ) -> list["Element"]:
+        """The snapshot lists are each in preorder; per-tag processing
+        order within _clean_headers never matters (each predicate reads
+        only its own subtree), so a simple concatenation suffices."""
+        out: list[Element] = []
+        for t in tags:
+            out.extend(groups[t])
+        return out
 
     def _clean_styles(self, e: Element | None) -> None:
         if e is None:
@@ -518,8 +569,14 @@ class ReadabilityKernel:
 
     def _clean(self, e: Element, tag: str) -> None:
         """A3: drop all <tag>; video embeds survive (Readability.java:575-589)."""
+        self._clean_nodes(elements_by_tag(e, tag), tag)
+
+    @staticmethod
+    def _clean_nodes(nodes: list[Element], tag: str) -> None:
+        """_clean over a pre-collected snapshot list (see prep_article's
+        one-walk equivalence note)."""
         is_embed = tag in ("object", "embed", "iframe")
-        for target in elements_by_tag(e, tag):
+        for target in nodes:
             if is_embed and P.VIDEO.search(target.outer_html()):
                 continue
             target.remove()
@@ -543,7 +600,15 @@ class ReadabilityKernel:
 
     def _clean_conditionally(self, e: Element, tag: str) -> None:
         """A5 with the ``li - 100`` reference quirk (Readability.java:597-656)."""
-        for node in elements_by_tag(e, tag):
+        self._clean_conditionally_nodes(elements_by_tag(e, tag), tag)
+
+    def _clean_conditionally_nodes(
+        self, nodes: list[Element], tag: str
+    ) -> None:
+        """_clean_conditionally over a pre-collected snapshot list (see
+        prep_article's one-walk equivalence note: predicates read only
+        the node's own subtree, which detachment preserves)."""
+        for node in nodes:
             weight = get_class_weight(node, self.variant)
             if weight < 0:
                 node.remove()

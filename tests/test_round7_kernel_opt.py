@@ -184,3 +184,68 @@ def test_all_comma_inner_text_char_count():
     el2 = Element("p")
     el2.append_child(TextNode("a,b,,c,"))
     assert get_char_count(el2, ",") == len(java_split("a,b,,c,", ","))
+
+
+LONG = (
+    "This is a long paragraph, with commas, and enough words to score "
+    "highly in the readability pass, truly remarkable text."
+)
+
+
+def _spans(html, variant="img"):
+    from readabilityimproved_spark.kernel.readability import extract_document
+
+    r = extract_document(
+        html, base_uri="http://h/2019-06/18/a.html", variant=variant
+    )
+    assert r.status == "ok"
+    return [(k, t) for (k, t, _m, _o) in r.spans]
+
+
+def test_prep_article_snapshot_fusion_adversarial_nesting():
+    """prep_article now collects one preorder snapshot instead of ~10
+    per-tag walks; these shapes exercise every equivalence argument
+    (detached-node no-ops, the attached-only h2 count, predicate
+    subtree-locality). Expected outputs were pinned equal to the
+    pre-fusion implementation over all 20 (page, variant) cases."""
+    main = [("text", LONG)]
+    # form inside a video object: form removed first, object survives
+    # the VIDEO check, contributes no text
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p><object data="x">'
+        f'<form><a href="http://www.youtube.com/v">y</a></form></object>'
+        f"</div></body>"
+    ) == main
+    # h2 nested in a removed (negative-class) h1: the nested h2 must
+    # not inflate the attached-h2 count -- the remaining solo h2 is
+    # cleaned by the count==1 gate
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p>'
+        f'<h1 class="footer"><h2>sub</h2></h1><h2>only</h2></div></body>'
+    ) == main
+    # h2 inside a form: form clean detaches it, so exactly one ATTACHED
+    # h2 remains and the gate fires on it
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p>'
+        f"<form><h2>a</h2></form><h2>b</h2></div></body>"
+    ) == main
+    # table nested in a conditionally-removed div; ul nested in a table
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p>'
+        f'<div class="footer widget"><table><tr><td>x</td></tr></table>'
+        f"</div><table><tr><td>k</td></tr></table></div></body>"
+    ) == main
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p>'
+        f"<table><tr><td><ul><li>i</li></ul></td></tr></table></div></body>"
+    ) == main
+    # negative-class header dropped, trailing paragraph kept, brs killed
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p><br><br>'
+        f'<h3 class="promo share">junk</h3><p>tail, here</p></div></body>'
+    ) == main + [("text", "tail, here")]
+    # text variant runs the same prep_article path
+    assert _spans(
+        f'<body><div class="content"><p>{LONG}</p><h2>solo</h2></div></body>',
+        variant="text",
+    ) == main
