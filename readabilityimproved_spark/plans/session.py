@@ -22,6 +22,37 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_SIZE = 256
 
 
+def _enable_preload_daemon() -> bool:
+    """Make the worker fork-server preload importable, then opt in.
+
+    The daemon process (``spark.python.daemon.module``) is what every
+    Python worker forks from; plans/preload_daemon.py imports pandas +
+    the Arrow serializers + this package's kernel there ONCE so all
+    workers inherit them copy-on-write instead of each paying ~0.6 s of
+    imports on the cold first task wave. The daemon is launched with
+    ``python -m``, so the package parent directory must be on the
+    PYTHONPATH the JVM passes down — ensured here from ``__file__``
+    before the JVM starts. Best-effort: if the path cannot be resolved
+    the stock ``pyspark.daemon`` is kept.
+    """
+    try:
+        pkg_root = os.path.dirname(  # .../repo (parent of the package)
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if not os.path.isdir(
+            os.path.join(pkg_root, "readabilityimproved_spark", "plans")
+        ):
+            return False
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + existing if existing else "")
+            )
+        return True
+    except Exception:  # pragma: no cover - never block session creation
+        return False
+
+
 def build_session(
     app_name: str = "readability-extract",
     master: str | None = None,
@@ -46,6 +77,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if _enable_preload_daemon():
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "readabilityimproved_spark.plans.preload_daemon",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
