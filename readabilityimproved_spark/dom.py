@@ -30,7 +30,13 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 from html import escape
-from urllib.parse import urljoin
+from urllib.parse import (
+    urljoin,
+    urlparse,
+    urlunparse,
+    uses_netloc,
+    uses_relative,
+)
 
 
 # scheme detection, replicating urllib.parse.urlsplit's preprocessing
@@ -53,10 +59,82 @@ def _has_scheme(u: str) -> bool:
     return _SCHEME_RE.match(u) is not None
 
 
+@lru_cache(maxsize=64)
+def _parsed_base(base: str):
+    """Memoized ``urlparse(base, '', True)``: one document base resolves
+    every node's URLs, but stock ``urljoin`` re-parses the base per call
+    (half its cost)."""
+    return urlparse(base, "", True)
+
+
+def _urljoin(base: str, url: str) -> str:
+    """``urllib.parse.urljoin`` with the base's parse memoized.
+
+    The body below is the CPython 3.11 algorithm verbatim (str-only, so
+    ``_coerce_args`` is the identity and elided) with ``urlparse(base)``
+    served from ``_parsed_base``. Output equality with the stdlib is
+    fuzz-pinned in tests/test_round7_kernel_opt.py.
+    """
+    if not base:
+        return url
+    if not url:
+        return base
+    bscheme, bnetloc, bpath, bparams, bquery, bfragment = _parsed_base(base)
+    scheme, netloc, path, params, query, fragment = urlparse(
+        url, bscheme, True
+    )
+
+    if scheme != bscheme or scheme not in uses_relative:
+        return url
+    if scheme in uses_netloc:
+        if netloc:
+            return urlunparse(
+                (scheme, netloc, path, params, query, fragment)
+            )
+        netloc = bnetloc
+
+    if not path and not params:
+        path = bpath
+        params = bparams
+        if not query:
+            query = bquery
+        return urlunparse((scheme, netloc, path, params, query, fragment))
+
+    base_parts = bpath.split("/")
+    if base_parts[-1] != "":
+        del base_parts[-1]
+
+    if path[:1] == "/":
+        segments = path.split("/")
+    else:
+        segments = base_parts + path.split("/")
+        segments[1:-1] = filter(None, segments[1:-1])
+
+    resolved_path: list[str] = []
+    for seg in segments:
+        if seg == "..":
+            try:
+                resolved_path.pop()
+            except IndexError:
+                pass
+        elif seg == ".":
+            continue
+        else:
+            resolved_path.append(seg)
+
+    if segments[-1] in (".", ".."):
+        resolved_path.append("")
+
+    return urlunparse(
+        (scheme, netloc, "/".join(resolved_path) or "/", params, query,
+         fragment)
+    )
+
+
 @lru_cache(maxsize=4096)
 def _resolve_url(base: str, val: str) -> str:
     """Memoized absUrl resolution (same base repeats for every node)."""
-    resolved = urljoin(base, val) if base else val
+    resolved = _urljoin(base, val) if base else val
     return resolved if _has_scheme(resolved) else ""
 
 #: memo for contains_markup's per-tag needle verdict (bounded; see use)
@@ -518,49 +596,60 @@ class _TreeBuilder:
         pos = 0
         n = len(s)
         find = s.find
+        # method/global lookups hoisted out of the per-token loop (the
+        # loop body runs once per '<' in the document)
+        handle_data = self.handle_data
+        handle_endtag = self.handle_endtag
+        handle_starttag = self.handle_starttag
+        end_match = _T_END.match
+        start_match = _T_START.match
+        comment_match = _T_COMMENT.match
+        decl_match = _T_DECL.match
+        pi_match = _T_PI.match
+        unescape = _unescape
         while pos < n:
             lt = find("<", pos)
             if lt == -1:
-                self.handle_data(_unescape(s[pos:]))
+                handle_data(unescape(s[pos:]))
                 break
             if lt > pos:
-                self.handle_data(_unescape(s[pos:lt]))
+                handle_data(unescape(s[pos:lt]))
             # dispatch on the char after '<': an end tag / comment /
             # decl never pays a failed start-tag regex attempt first
             # (the fallthrough order below is unchanged, so recovery
             # for each malformed shape is identical)
             nxt = s[lt + 1] if lt + 1 < n else ""
             if nxt == "/":
-                m = _T_END.match(s, lt)
+                m = end_match(s, lt)
                 if m is not None:
-                    self.handle_endtag(m.group(1).lower())
+                    handle_endtag(m.group(1).lower())
                     pos = m.end()
                     continue
-                self.handle_data("<")
+                handle_data("<")
                 pos = lt + 1
                 continue
             if nxt == "!":
-                m = _T_COMMENT.match(s, lt)
+                m = comment_match(s, lt)
                 if m is not None:
                     self.handle_comment(m.group(0))
                     pos = m.end()
                     continue
-                m = _T_DECL.match(s, lt)
+                m = decl_match(s, lt)
                 if m is not None:
                     pos = m.end()
                     continue
-                self.handle_data("<")
+                handle_data("<")
                 pos = lt + 1
                 continue
             if nxt == "?":
-                m = _T_PI.match(s, lt)
+                m = pi_match(s, lt)
                 if m is not None:
                     pos = m.end()
                     continue
-                self.handle_data("<")
+                handle_data("<")
                 pos = lt + 1
                 continue
-            m = _T_START.match(s, lt)
+            m = start_match(s, lt)
             if m is not None:
                 tag = m.group(1).lower()
                 chunk = m.group(2)
@@ -582,7 +671,7 @@ class _TreeBuilder:
                 attr_pairs = [
                     (
                         name,
-                        _unescape(dq if dq else (sq if sq else uq)),
+                        unescape(dq if dq else (sq if sq else uq)),
                     )
                     for name, dq, sq, uq in attrs
                 ]
@@ -590,32 +679,32 @@ class _TreeBuilder:
                 if self_closing:
                     self.handle_startendtag(tag, attr_pairs)
                     continue
-                self.handle_starttag(tag, attr_pairs)
+                handle_starttag(tag, attr_pairs)
                 raw = _RAWTEXT_CLOSE.get(tag)
                 if raw is not None:  # CDATA content: no tags, no entities
                     mc = raw.search(s, pos)
                     end = mc.start() if mc else n
                     if end > pos:
-                        self.handle_data(s[pos:end])
-                    self.handle_endtag(tag)
+                        handle_data(s[pos:end])
+                    handle_endtag(tag)
                     pos = mc.end() if mc else n
                 continue
-            m = _T_END.match(s, lt)
+            m = end_match(s, lt)
             if m is not None:
-                self.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
                 pos = m.end()
                 continue
-            m = _T_COMMENT.match(s, lt)
+            m = comment_match(s, lt)
             if m is not None:
                 self.handle_comment(m.group(0))
                 pos = m.end()
                 continue
-            m = _T_DECL.match(s, lt) or _T_PI.match(s, lt)
+            m = decl_match(s, lt) or pi_match(s, lt)
             if m is not None:
                 pos = m.end()
                 continue
             # lone '<': literal text (html.parser-compatible recovery)
-            self.handle_data("<")
+            handle_data("<")
             pos = lt + 1
 
     def close(self) -> None:

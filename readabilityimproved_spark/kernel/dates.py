@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
+from functools import lru_cache
 
 from ..javacompat import jint
 
@@ -116,7 +117,19 @@ def _first_date_l2(s: str) -> str | None:
 
 
 def date_from_url(url: str | None, ref_date: dt.datetime = DEFAULT_REF_DATE) -> str | None:
-    """TimeUtil.getDateFromUrl: first L1 hit, else first L2 hit, else None."""
+    """TimeUtil.getDateFromUrl: first L1 hit, else first L2 hit, else None.
+
+    Memoized: a pure function of (url, ref_date), and the kernel calls
+    it with heavily repeated arguments — the page base URI once per
+    image (I4 compares every image date against the page date) and
+    duplicate image srcs. The cache is bounded (LRU), so a long-lived
+    executor worker cannot grow without limit.
+    """
     if url is None or url.strip() == "":
         return None
+    return _date_from_url_cached(url, ref_date)
+
+
+@lru_cache(maxsize=16384)
+def _date_from_url_cached(url: str, ref_date: dt.datetime) -> str | None:
     return _first_date_l1(url, ref_date) or _first_date_l2(url)

@@ -125,14 +125,21 @@ def _f32_mul(a: float, b: float) -> float:
 def get_content_score(node: Element | None) -> int:
     if node is None:
         return 0
+    # missing attr is the common case on unscored nodes: branch on None
+    # instead of paying an int("") ValueError (~1us per raise)
+    v = node.attrs.get(CONTENT_SCORE)
+    if v is None:
+        return 0
     try:
-        return int(node.attrs.get(CONTENT_SCORE, ""))
+        return int(v)
     except ValueError:
         return 0
 
 
 def inc_content_score(node: Element, increment: int) -> None:
-    node.set_attr(CONTENT_SCORE, str(get_content_score(node) + increment))
+    # direct dict store: the key is a lowercase literal, set_attr's
+    # re-lower is redundant on this hottest write path
+    node.attrs[CONTENT_SCORE] = str(get_content_score(node) + increment)
 
 
 def scale_content_score(node: Element, scale: float) -> None:
@@ -143,22 +150,23 @@ def scale_content_score(node: Element, scale: float) -> None:
     narrowing -- float64 here produces +/-1 divergences (e.g. density
     1/3) that can flip the C9 argmax.
     """
-    node.set_attr(
-        CONTENT_SCORE, str(jint(_f32_mul(get_content_score(node), scale)))
-    )
+    node.attrs[CONTENT_SCORE] = str(jint(_f32_mul(get_content_score(node), scale)))
 
 
 def get_img_score(node: Element | None) -> int:
     if node is None:
         return 0
+    v = node.attrs.get(IMG_SCORE)
+    if v is None:
+        return 0
     try:
-        return int(node.attrs.get(IMG_SCORE, ""))
+        return int(v)
     except ValueError:
         return 0
 
 
 def inc_img_score(node: Element, increment: int) -> None:
-    node.set_attr(IMG_SCORE, str(get_img_score(node) + increment))
+    node.attrs[IMG_SCORE] = str(get_img_score(node) + increment)
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +257,7 @@ def get_class_weight(e: Element, variant: P.Variant) -> int:
 
 def initialize_node(node: Element, variant: P.Variant) -> None:
     """C5: tag prior + class weight (Readability.java:242-272)."""
-    node.set_attr(CONTENT_SCORE, "0")
+    node.attrs[CONTENT_SCORE] = "0"
     tag = node.tag
     if tag == "div":
         inc_content_score(node, 5)
@@ -377,12 +385,10 @@ class ReadabilityKernel:
             inner_text = get_inner_text(node, True)
             if len(inner_text) < 25:
                 continue
-            if not parent_node.has_attr(CONTENT_SCORE):
+            if CONTENT_SCORE not in parent_node.attrs:
                 initialize_node(parent_node, variant)
                 candidates.append(parent_node)
-            if grand_parent_node is not None and not grand_parent_node.has_attr(
-                CONTENT_SCORE
-            ):
+            if grand_parent_node is not None and CONTENT_SCORE not in grand_parent_node.attrs:
                 initialize_node(grand_parent_node, variant)
                 candidates.append(grand_parent_node)
 
@@ -397,7 +403,7 @@ class ReadabilityKernel:
             self.debug_scores = [
                 (n.tag, n.class_name(), n.id(), get_content_score(n))
                 for n in doc.all_elements()
-                if n.has_attr(CONTENT_SCORE)
+                if CONTENT_SCORE in n.attrs
             ]
 
         # C8 link-density scaling + C9 argmax (first strict max wins)
@@ -735,7 +741,7 @@ class ReadabilityKernel:
 
     def _initialize_img_score(self, node: Element) -> None:
         """I3 ancestor scoring (ReadabilityForImg.java:399-510)."""
-        node.set_attr(IMG_SCORE, "0")
+        node.attrs[IMG_SCORE] = "0"
         tag = node.tag
         if tag in ("p", "article"):
             inc_img_score(node, 7)
@@ -921,8 +927,8 @@ class ReadabilityKernel:
             )
             if parent_node is None:
                 # deviation: the reference NPEs on orphan imgs
-                if not node.has_attr(IMG_SCORE):
-                    node.set_attr(IMG_SCORE, "0")
+                if IMG_SCORE not in node.attrs:
+                    node.attrs[IMG_SCORE] = "0"
                     self._init_img_tag_score(node)
                 continue
             grand_parent_node = (
@@ -952,21 +958,19 @@ class ReadabilityKernel:
                 great_grand_parent_node = great_grand_parent_node.parent
 
             # I3 ancestor scoring (once per node, scores persist in attrs)
-            if not parent_node.has_attr(IMG_SCORE):
+            if IMG_SCORE not in parent_node.attrs:
                 self._initialize_img_score(parent_node)
-            if grand_parent_node is not None and not grand_parent_node.has_attr(
-                IMG_SCORE
-            ):
+            if grand_parent_node is not None and IMG_SCORE not in grand_parent_node.attrs:
                 self._initialize_img_score(grand_parent_node)
             if (
                 great_grand_parent_node is not None
-                and not great_grand_parent_node.has_attr(IMG_SCORE)
+                and IMG_SCORE not in great_grand_parent_node.attrs
             ):
                 self._initialize_img_score(great_grand_parent_node)
 
             # I4 tag scoring
-            if not node.has_attr(IMG_SCORE):
-                node.set_attr(IMG_SCORE, "0")
+            if IMG_SCORE not in node.attrs:
+                node.attrs[IMG_SCORE] = "0"
                 self._init_img_tag_score(node)
 
             # I6 score propagation: parent + grandparent + ggp/2

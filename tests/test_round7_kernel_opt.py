@@ -249,3 +249,74 @@ def test_prep_article_snapshot_fusion_adversarial_nesting():
         f'<body><div class="content"><p>{LONG}</p><h2>solo</h2></div></body>',
         variant="text",
     ) == main
+
+
+def test_urljoin_memoized_base_vs_stdlib():
+    """_urljoin (base parse memoized) must equal urllib.parse.urljoin
+    byte-for-byte: same CPython 3.11 algorithm, so fuzz over adversarial
+    fragments including scheme case, dot segments, netloc and params."""
+    from urllib.parse import urljoin
+
+    from readabilityimproved_spark.dom import _urljoin
+
+    rng = random.Random(99)
+    atoms = [
+        "http://", "https://", "ftp://", "HTTP://", "//", "/", "../",
+        "./", "a", "b.html", "site.com", ":8080", "?q=1", "#frag",
+        "img/x.jpg", "..", ".", "", " ", "\t", "%20", "mailto:x@y",
+        "data:image/png;base64,xx", "\\", ":", "2019-06/18/",
+        "article5.html", "x;y", "[::1]", "@u:p",
+    ]
+    cases = [
+        ("http://h/2019-06/18/a.html", "img/x.jpg"),
+        ("http://h/a/b/", "../../../up.png"),
+        ("http://h/a", "//cdn.example.com/i.png"),
+        ("http://h/a", "HTTP://other/x"),
+        ("http://h/a;p?q#f", ";params"),
+        ("", "x"), ("http://h/a", ""),
+    ]
+    for _ in range(60000):
+        cases.append((
+            "".join(rng.choices(atoms, k=rng.randint(0, 6))),
+            "".join(rng.choices(atoms, k=rng.randint(0, 6))),
+        ))
+    for base, url in cases:
+        try:
+            want = urljoin(base, url)
+        except ValueError:
+            with pytest.raises(ValueError):
+                _urljoin(base, url)
+            continue
+        assert _urljoin(base, url) == want, (base, url)
+
+
+def test_date_from_url_cache_transparent():
+    """The lru-cached date_from_url must equal the uncached pipeline for
+    every format branch, repeated calls included (cache hits)."""
+    import datetime as dt
+
+    from readabilityimproved_spark.kernel.dates import (
+        DEFAULT_REF_DATE,
+        _first_date_l1,
+        _first_date_l2,
+        date_from_url,
+    )
+
+    def uncached(url, ref_date):
+        if url is None or url.strip() == "":
+            return None
+        return _first_date_l1(url, ref_date) or _first_date_l2(url)
+
+    urls = [
+        None, "", "   ", "http://h/2019-06/18/a.html",
+        "http://h/20190618/a.html", "http://h/201906/18/x",
+        "http://h/6/18/2019/x", "http://h/19-06-18/x",
+        "http://h/29991231/x", "http://h/nothing/here",
+        "http://h/2019_06_18.more", "http://h/1989-06-18/old",
+        "img20190618.jpg", "a/2019.06.18/b",
+    ]
+    refs = [DEFAULT_REF_DATE, dt.datetime(2020, 1, 1)]
+    for ref in refs:
+        for u in urls:
+            for _ in range(3):  # repeated: exercise cache hits
+                assert date_from_url(u, ref) == uncached(u, ref), (u, ref)
