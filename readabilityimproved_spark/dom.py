@@ -484,8 +484,11 @@ class Element:
         return getattr(root, "_base_uri", "") or ""
 
     def abs_url(self, attr_key: str) -> str:
-        """jsoup ``absUrl``: absolute URL for the attribute or ''."""
-        val = self.attr(attr_key)
+        """jsoup ``absUrl``: absolute URL for the attribute or ''.
+
+        ``attr_key`` must be lowercase (every caller passes a lowercase
+        literal; attr names are normalized at parse/set time)."""
+        val = self.attrs.get(attr_key)
         if not val:
             return ""
         return _resolve_url(self.base_uri(), val)
@@ -663,23 +666,22 @@ class _TreeBuilder:
                         chunk = chunk[:-1]
                 # isspace() test instead of strip(): no throwaway string
                 # allocation on the (dominant) attribute-free start tag
-                attrs = (
-                    _T_ATTR.findall(chunk)
-                    if chunk and not chunk.isspace()
-                    else ()
-                )
-                attr_pairs = [
-                    (
-                        name,
-                        unescape(dq if dq else (sq if sq else uq)),
-                    )
-                    for name, dq, sq, uq in attrs
-                ]
+                # build the attr dict here (first occurrence wins, names
+                # lowercased -- jsoup behavior): one dict instead of an
+                # intermediate pair list per element
+                attr_dict: dict[str, str] = {}
+                if chunk and not chunk.isspace():
+                    for name, dq, sq, uq in _T_ATTR.findall(chunk):
+                        k = name.lower()
+                        if k not in attr_dict:
+                            attr_dict[k] = unescape(
+                                dq if dq else (sq if sq else uq)
+                            )
                 pos = m.end()
                 if self_closing:
-                    self.handle_startendtag(tag, attr_pairs)
+                    self.handle_startendtag(tag, attr_dict)
                     continue
-                handle_starttag(tag, attr_pairs)
+                handle_starttag(tag, attr_dict)
                 raw = _RAWTEXT_CLOSE.get(tag)
                 if raw is not None:  # CDATA content: no tags, no entities
                     mc = raw.search(s, pos)
@@ -736,19 +738,16 @@ class _TreeBuilder:
         el._text_cache = None
         return el
 
-    def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
+    def handle_starttag(self, tag: str, attr_dict: dict) -> None:
+        """``tag`` is already lowercase and ``attr_dict`` is freshly
+        built by feed() (lowercased names, first occurrence wins) --
+        both normalizations happen at the tokenizer, once."""
         if tag in P_CLOSERS:
             self._close_tag("p")
         if tag == "li":
             self._close_tag("li")
         elif tag in ("dd", "dt"):
             self._close_tag("dd") or self._close_tag("dt")
-        attr_dict: dict[str, str] = {}
-        for k, v in attrs:
-            k = k.lower()
-            if k not in attr_dict:  # first occurrence wins (jsoup behavior)
-                attr_dict[k] = v if v is not None else ""
         el = self._raw_element(tag, attr_dict)
         # raw append: the tree is under construction, no caches to invalidate
         el.parent = self.cur
@@ -756,13 +755,7 @@ class _TreeBuilder:
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
-        attr_dict: dict[str, str] = {}
-        for k, v in attrs:
-            k = k.lower()
-            if k not in attr_dict:
-                attr_dict[k] = v if v is not None else ""
+    def handle_startendtag(self, tag: str, attr_dict: dict) -> None:
         el = self._raw_element(tag, attr_dict)
         el.parent = self.cur
         self.cur.children.append(el)

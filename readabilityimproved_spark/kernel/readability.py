@@ -236,22 +236,44 @@ def get_link_density(e: Element) -> float:
     return _f32(_f32(link_length) / _f32(text_length))
 
 
+#: bounded memo caches for pure regex verdicts over class/id strings --
+#: those strings come from a small site-template vocabulary, so the same
+#: handful of values is re-scanned thousands of times per corpus. Keyed
+#: per variant where the patterns differ. Cleared when oversized (wild
+#: corpora have unbounded attr vocabularies).
+_REGEX_MEMO_MAX = 8192
+_CLASS_WEIGHT_CACHES: dict[str, dict] = {}
+_C1_VERDICT_CACHES: dict[str, dict] = {}
+_IMG_CLASSID_CACHE: dict[str, int] = {}
+
+
 def get_class_weight(e: Element, variant: P.Variant) -> int:
     """C6: class/id vs NEGATIVE/POSITIVE, +/-25 each (range -50..+50)."""
-    weight = 0
     attrs = e.attrs  # keys are normalized lowercase at parse/set time
     class_name = attrs.get("class", "")
+    node_id = attrs.get("id", "")
+    if not class_name and not node_id:
+        # both patterns are non-empty alternations: cannot match ""
+        return 0
+    cache = _CLASS_WEIGHT_CACHES.setdefault(variant.name, {})
+    key = (class_name, node_id)
+    w = cache.get(key)
+    if w is not None:
+        return w
+    weight = 0
     if class_name:
         if variant.negative.search(class_name):
             weight -= 25
         if variant.positive.search(class_name):
             weight += 25
-    node_id = attrs.get("id", "")
     if node_id:
         if variant.negative.search(node_id):
             weight -= 25
         if variant.positive.search(node_id):
             weight += 25
+    if len(cache) > _REGEX_MEMO_MAX:
+        cache.clear()
+    cache[key] = weight
     return weight
 
 
@@ -356,14 +378,25 @@ class ReadabilityKernel:
                 unlikely_match_string = (
                     attrs.get("class", "") + attrs.get("id", "") if attrs else ""
                 )
-                if (
-                    unlikely_match_string
-                    and variant.unlikely.search(unlikely_match_string)
-                    and not P.OK_MAYBE_ITS_A_CANDIDATE.search(unlikely_match_string)
-                    and node.tag != "body"
-                ):
-                    node.remove()
-                    continue
+                if unlikely_match_string and node.tag != "body":
+                    # memoized pure verdict over the class+id string
+                    # (the tag check is hoisted -- predicate order among
+                    # pure conditions cannot change the outcome)
+                    c1 = _C1_VERDICT_CACHES.setdefault(variant.name, {})
+                    hit = c1.get(unlikely_match_string)
+                    if hit is None:
+                        hit = bool(
+                            variant.unlikely.search(unlikely_match_string)
+                            and not P.OK_MAYBE_ITS_A_CANDIDATE.search(
+                                unlikely_match_string
+                            )
+                        )
+                        if len(c1) > _REGEX_MEMO_MAX:
+                            c1.clear()
+                        c1[unlikely_match_string] = hit
+                    if hit:
+                        node.remove()
+                        continue
             # C2: the reference regex-scans innerHTML for block/anchor tags
             # (Readability.java:308-321). InnerHTML escapes text ('<' ->
             # &lt;), so the regex matches iff a DESCENDANT ELEMENT carries
@@ -800,14 +833,23 @@ class ReadabilityKernel:
             else:
                 attr_score -= 10
         # class + " " + id: never empty thanks to the separator (reference
-        # quirk, ReadabilityForImg.java:491-493) -- always evaluated
+        # quirk, ReadabilityForImg.java:491-493) -- always evaluated;
+        # the three-pattern verdict is a pure function of the string and
+        # memoized (template vocabularies repeat heavily)
         class_name = attrs.get("class", "") + " " + attrs.get("id", "")
-        if P.NEGATIVE_IMG.search(class_name):
-            attr_score -= 15
-        if P.POSITIVE_IMG.search(class_name):
-            attr_score += 15
-        if P.REMOVE_IMG.search(class_name):
-            attr_score -= 40
+        delta = _IMG_CLASSID_CACHE.get(class_name)
+        if delta is None:
+            delta = 0
+            if P.NEGATIVE_IMG.search(class_name):
+                delta -= 15
+            if P.POSITIVE_IMG.search(class_name):
+                delta += 15
+            if P.REMOVE_IMG.search(class_name):
+                delta -= 40
+            if len(_IMG_CLASSID_CACHE) > _REGEX_MEMO_MAX:
+                _IMG_CLASSID_CACHE.clear()
+            _IMG_CLASSID_CACHE[class_name] = delta
+        attr_score += delta
         inc_img_score(node, attr_score + get_content_score(node))
 
     def _init_img_tag_score(self, node: Element) -> None:
