@@ -434,21 +434,26 @@ class Element:
         if cached is not None and cached[0] == key:
             return cached[1]
 
+        # iterative preorder with a trailing-space sentinel (the plain
+        # string " " on the stack) instead of one Python frame per
+        # element; emission order is identical to the old recursion
         parts: list[str] = []
-
-        def walk(el: Element) -> None:
-            for c in el.children:
-                if c.__class__ is TextNode:
-                    if not c.is_comment:
-                        parts.append(c.data)
-                elif c.tag in BLOCK_ELEMENTS:
-                    parts.append(" ")
-                    walk(c)
-                    parts.append(" ")
-                else:
-                    walk(c)
-
-        walk(self)
+        append = parts.append
+        stack: list = self.children[::-1]
+        while stack:
+            c = stack.pop()
+            cls = c.__class__
+            if cls is TextNode:
+                if not c.is_comment:
+                    append(c.data)
+            elif cls is str:
+                append(c)
+            else:
+                if c.tag in BLOCK_ELEMENTS:
+                    append(" ")
+                    stack.append(" ")
+                if c.children:
+                    stack.extend(c.children[::-1])
         value = "".join(parts).translate(_WS_TO_SPACE)
         if "  " in value:
             value = _SPACE_RUN.sub(" ", value)
