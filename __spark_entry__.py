@@ -84,9 +84,28 @@ def q_extract_article_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a small scan across the cluster before the opaque per-row
+    kernel (guide §2.5 input skew): ``documents.parquet`` is ONE file
+    with one row group at the check scale factors, so every row lands
+    in the single scan task that covers the row-group midpoint — the
+    DOM kernel runs single-threaded no matter how many cores exist
+    (the partition COUNT lies: the other byte-range tasks are empty,
+    which is why the guard keys on the file count, not
+    getNumPartitions). Round-robin repartition ONLY when the scan has
+    fewer files than cores — at production scale the input is many
+    files/splits and this is a no-op (no shuffle of a 10^12-doc
+    corpus). Result rows are unchanged (pure per-row kernel; the
+    driver compares sorted rows)."""
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < target:
+        return df.repartition(target)
+    return df
+
+
 def _shaped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text wrapped into the constructed flagship pages."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), spark)
     ptext = F.concat(F.col("text"), F.lit(_TAIL))
     src = F.concat(F.lit(_IMG_PREFIX), F.col("doc_id").cast("string"), F.lit(".jpg"))
     base = F.concat(F.lit(_BASE_PREFIX), F.col("doc_id").cast("string"), F.lit(".html"))
@@ -160,7 +179,7 @@ _TITLE_PREFIX = "Story "
 def q_title_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T0 title extraction (Extractor.java:28-76) over constructed pages
     covering: h1 == title, h1 contains title, no h1, unrelated h1."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), spark)
     title = F.concat(F.lit(_TITLE_PREFIX), F.col("doc_id").cast("string"))
     h1 = (
         F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("<h1>"), title, F.lit("</h1>")))
@@ -224,7 +243,7 @@ _DATE_EXPECT = [
 def q_pub_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 weighted HTML date extraction (TimeUtil.getDateFromHtml) over
     constructed pages covering numeric/Chinese/English/datetime/yy/none."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), spark)
     datestr = F.element_at(
         F.array(*[F.lit(c) for c in _DATE_CASES]),
         (F.col("doc_id") % 6).cast("int") + 1,
@@ -370,7 +389,7 @@ def q_extract_rejects_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     logo, a duplicated photo, and a data-uri image -- the kernel must emit
     the text span ONLY (I5 size buckets, I11 count==1 dedup, I1 data-uri
     skip, C1 sidebar pruning all verified by hash equality)."""
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), spark)
     # 5 paragraphs so the img>p conditional-clean rule (correctly) does
     # not fire on this 4-image page
     words = ["alpha", "bravo", "charlie", "delta", "echo"]
@@ -2556,7 +2575,7 @@ _LINK_BASE = "http://news.example.com/2019-06/18/story"
 
 
 def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), spark)
     did = F.col("doc_id").cast("string")
     base = F.concat(F.lit(_LINK_BASE), did, F.lit(".html"))
     k = (F.col("doc_id") % 3 + 1).cast("int")
