@@ -2998,7 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _spread(_emb(spark, sf), spark), k=_TOPK_K, num_queries=_TOPK_QUERIES
         ),
         "similarity_ann_lsh": lambda spark, sf: ann_bucketed_topk(
-            _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES
+            _spread(_emb(spark, sf), spark), k=_TOPK_K, num_queries=_TOPK_QUERIES
         ),
         "similarity_ann_multiprobe": lambda spark, sf: ann_multiprobe_topk(
             _emb(spark, sf), k=_TOPK_K, num_queries=_TOPK_QUERIES,
