@@ -51,7 +51,13 @@ def test_flagship_scan_prunes_columns(spark):
     plan = plan_of(df)
     # only doc_id and text may reach the parquet scan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
-    assert "Exchange" not in plan
+    # r07: exactly ONE exchange is allowed — the round-robin _spread of
+    # the single-file scan (input skew, guide §2.5); anything keyed
+    # (hash/range) would mean an accidental shuffle crept in
+    assert plan.count("Exchange (") <= 1, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    if "Exchange (" in plan:
+        assert "RoundRobinPartitioning" in plan, plan
 
 
 def test_similarity_broadcasts_queries(spark):
