@@ -127,6 +127,12 @@ def hash_split(
     """
     if not fractions:
         raise ValueError("fractions must be a non-empty dict")
+    quoted = [k for k in fractions if "'" in k or "\n" in k]
+    if quoted:
+        # split names are rendered into SQL string literals by oracle /
+        # replay code (round-6 advice): reject quote-bearing names here
+        # rather than emit broken SQL downstream
+        raise ValueError(f"split names must not contain quotes: {quoted}")
     bad = {k: v for k, v in fractions.items() if v < 0}
     if bad:
         raise ValueError(f"negative fractions: {bad}")

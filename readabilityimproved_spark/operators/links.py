@@ -114,7 +114,15 @@ def extract_outlinks(df: DataFrame, max_links_per_doc: int = 10_000) -> DataFram
     def gen(batches):
         return _outlink_batches(batches, max_links_per_doc)
 
-    return df.mapInPandas(gen, schema=OUTLINKS_SCHEMA)
+    # doc_id keeps the INPUT's type: a bigint documents table used to
+    # hit an Arrow int->string conversion error because the schema
+    # hardcoded string (round-6 advice); values pass through verbatim
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    schema = (
+        f"doc_id {id_type}, link_no int, url string, anchor string,"
+        " rel string"
+    )
+    return df.mapInPandas(gen, schema=schema)
 
 
 def host_link_graph(
@@ -409,7 +417,10 @@ def registrable_domain(url_col: str, labels: int = 2) -> F.Column:
     if labels < 1:
         raise ValueError(f"labels must be >= 1, got {labels}")
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    parts = F.split(host, r"\.")
+    # drop empty labels: a trailing-dot FQDN ('example.com.') splits to
+    # ['example','com',''] and would key as 'com.', silently escaping
+    # the blocklist (round-6 advice)
+    parts = F.filter(F.split(host, r"\."), lambda x: x != "")
     n = F.size(parts)
     start = F.greatest(n - F.lit(labels) + 1, F.lit(1))
     return F.array_join(F.slice(parts, start, F.lit(labels)), ".")
