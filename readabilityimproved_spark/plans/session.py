@@ -82,6 +82,13 @@ def build_session(
             "spark.python.daemon.module",
             "readabilityimproved_spark.plans.preload_daemon",
         )
+        # second belt for `python -m` resolution: the os.environ change
+        # above only reaches a JVM launched AFTER it — if some earlier
+        # code started the JVM first, the worker factory still merges
+        # executorEnv.PYTHONPATH into the daemon's environment
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
