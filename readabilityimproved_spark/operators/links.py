@@ -56,6 +56,12 @@ OUTLINKS_SCHEMA = (
 )
 
 
+#: flush the accumulated link rows to a DataFrame once this many are
+#: buffered: bounds the per-batch Python list at O(chunk + one doc's
+#: links) instead of O(batch rows x max_links) — round-6 verdict item 7
+_OUTLINK_CHUNK_ROWS = 20_000
+
+
 def _outlink_batches(
     batches: Iterator[pd.DataFrame], max_links: int
 ) -> Iterator[pd.DataFrame]:
@@ -64,6 +70,11 @@ def _outlink_batches(
         has_base = "base_uri" in pdf.columns
         rows = []
         for row in pdf.itertuples(index=False):
+            if len(rows) >= _OUTLINK_CHUNK_ROWS:
+                # flush BETWEEN documents only: rows stay in emit order,
+                # one doc's links are never split across chunks
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
             spans_in = getattr(row, "spans")
             html = reconstruct_html(
                 [dict(s) for s in spans_in] if spans_in is not None else []
